@@ -1,0 +1,248 @@
+"""Typed configuration system.
+
+Replaces the reference's global-dict YAML config (reference: config.py:13-121)
+with frozen dataclasses, while keeping:
+  * the exact default hyperparameter values (they encode tuned SLAM behavior
+    required for trajectory parity — sigma_ray=0.003, Q_conf=1.5,
+    match_frac_thresh=1/3, huber k=1.345, ...),
+  * YAML loading with `inherit` / `_base_` config inheritance and
+    child-over-base deep-merge (reference: config.py:22-42),
+  * a process-global accessor `get_config()` (reference: config.py:117-121).
+
+Unlike the reference, the schema is explicit: unknown keys raise, and the two
+config-key bugs of the reference are fixed here by construction:
+  * `use_calib` lives at the top level AND is what the tracker consults
+    (reference bug: tracker.py:97 read tracking.use_calib which never existed),
+  * matching refinement keys are `refine_radius` / `refine_dilation` /
+    `use_refine` and exist in the schema (reference bug: matching.py:405-407
+    read keys missing from DEFAULT_CONFIG at config.py:64-73).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields
+from pathlib import Path
+from typing import Any
+
+try:
+    import yaml
+
+    _HAVE_YAML = True
+except Exception:  # pragma: no cover
+    _HAVE_YAML = False
+
+
+# ---------------------------------------------------------------------------
+# Schema
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DatasetConfig:
+    img_size: int = 512
+    img_downsample: int = 1
+    subsample: int = 1
+    reverse: bool = False
+
+
+@dataclass
+class MatchingConfig:
+    # `use_simple` selects warm-start + 3D-gate matching; False selects full
+    # iterative projective matching (reference: matching.py:32-38).
+    use_simple: bool = True
+    max_iter: int = 10
+    lambda_init: float = 1e-8
+    convergence_thresh: float = 1e-6
+    dist_thresh: float = 0.1
+    # Descriptor-refinement window (fixes the reference's dead config keys).
+    use_refine: bool = True
+    refine_radius: int = 3
+    refine_dilation: int = 2
+
+
+@dataclass
+class TrackingConfig:
+    min_match_frac: float = 0.05
+    C_conf: float = 0.0
+    Q_conf: float = 1.5
+    rel_error: float = 1e-3
+    delta_norm: float = 1e-3
+    max_iters: int = 10
+    huber: float = 1.345
+    sigma_ray: float = 0.003
+    sigma_dist: float = 10.0
+    sigma_pixel: float = 1.0
+    sigma_depth: float = 10.0
+    pixel_border: int = 0
+    depth_eps: float = 0.0
+    match_frac_thresh: float = 0.333
+    filtering_mode: str = "weighted_pointmap"
+    filtering_score: str = "median"
+
+
+@dataclass
+class LocalOptConfig:
+    window_size: int = 1_000_000
+    pin: int = 1
+    max_iters: int = 10
+    min_match_frac: float = 0.1
+    C_conf: float = 0.0
+    Q_conf: float = 1.5
+    sigma_ray: float = 0.003
+    sigma_dist: float = 10.0
+    sigma_pixel: float = 1.0
+    sigma_depth: float = 10.0
+    pixel_border: int = 0
+    depth_eps: float = 0.0
+    delta_norm: float = 1e-3
+    huber: float = 1.345
+    # Static capacity of the edge store (factor graph); a TPU-specific knob —
+    # shapes under jit must be static, so edges live in a fixed arena.
+    max_edges: int = 256
+
+
+@dataclass
+class RetrievalConfig:
+    k: int = 3
+    min_thresh: float = 0.005
+
+
+@dataclass
+class RelocConfig:
+    min_match_frac: float = 0.3
+    strict: bool = True
+
+
+@dataclass
+class ModelConfig:
+    """Model-family selection (reference: mast3r_utils.py:47-80)."""
+
+    model_type: str = "mast3r_full"  # or "dunemast3r"
+    variant: str = "base"  # DUNE encoder variant: "small" | "base"
+    resolution: int = 512
+    precision: str = "bf16"  # fp32 | bf16
+    checkpoint: str | None = None  # local safetensors path (no egress here)
+
+
+@dataclass
+class RuntimeConfig:
+    """TPU runtime knobs (no analog in the reference — its runtime was a
+    single Metal queue)."""
+
+    keyframe_capacity: int = 512  # preallocated HBM keyframe arena slots
+    prefetch_depth: int = 2  # host frame-decode lookahead
+    donate_buffers: bool = True
+
+
+@dataclass
+class Config:
+    use_calib: bool = False
+    single_thread: bool = True
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    matching: MatchingConfig = field(default_factory=MatchingConfig)
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
+    local_opt: LocalOptConfig = field(default_factory=LocalOptConfig)
+    retrieval: RetrievalConfig = field(default_factory=RetrievalConfig)
+    reloc: RelocConfig = field(default_factory=RelocConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+
+    # -- dict interop -------------------------------------------------------
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Config":
+        return _merge_into(cls(), d)
+
+
+def _merge_into(cfg: Any, updates: dict[str, Any]) -> Any:
+    """Apply a (possibly partial, possibly nested) dict onto a dataclass."""
+    known = {f.name: f for f in fields(cfg)}
+    kwargs: dict[str, Any] = {}
+    for key, value in updates.items():
+        if key in ("inherit", "_base_"):
+            continue
+        if key not in known:
+            raise KeyError(
+                f"Unknown config key {key!r} for {type(cfg).__name__}; "
+                f"known keys: {sorted(known)}"
+            )
+        current = getattr(cfg, key)
+        if dataclasses.is_dataclass(current) and isinstance(value, dict):
+            kwargs[key] = _merge_into(current, value)
+        else:
+            kwargs[key] = value
+    return dataclasses.replace(cfg, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# YAML loading with inheritance
+# ---------------------------------------------------------------------------
+
+
+def _load_yaml_with_inherit(config_path: Path) -> dict[str, Any]:
+    if not _HAVE_YAML:  # pragma: no cover
+        raise RuntimeError("PyYAML unavailable; cannot load YAML configs")
+    with open(config_path) as f:
+        raw = yaml.safe_load(f) or {}
+
+    base_key = "inherit" if "inherit" in raw else ("_base_" if "_base_" in raw else None)
+    if base_key is None:
+        return raw
+
+    base_path = Path(raw[base_key])
+    if not base_path.is_absolute():
+        # Resolve relative to project root first, then to the config dir
+        # (same search order as the reference, config.py:29-34).
+        candidate = config_path.parent.parent / raw[base_key]
+        base_path = candidate if candidate.exists() else config_path.parent / raw[base_key]
+    base = _load_yaml_with_inherit(base_path)
+    _deep_update(base, raw)
+    base.pop(base_key, None)
+    return base
+
+
+def _deep_update(base: dict, update: dict) -> None:
+    for key, value in update.items():
+        if key in base and isinstance(base[key], dict) and isinstance(value, dict):
+            _deep_update(base[key], value)
+        else:
+            base[key] = value
+
+
+# ---------------------------------------------------------------------------
+# Process-global accessor
+# ---------------------------------------------------------------------------
+
+_config: Config | None = None
+
+
+def default_config() -> Config:
+    return Config()
+
+
+def load_config(config_path: str | Path) -> Config:
+    """Load a YAML config (with inheritance) and install it globally."""
+    global _config
+    raw = _load_yaml_with_inherit(Path(config_path))
+    _config = Config.from_dict(raw)
+    return _config
+
+
+def set_config(cfg: Config) -> Config:
+    global _config
+    _config = cfg
+    return cfg
+
+
+def reset_config() -> None:
+    global _config
+    _config = None
+
+
+def get_config() -> Config:
+    """Current config, or a fresh default if none was loaded."""
+    return _config if _config is not None else Config()

@@ -1,0 +1,164 @@
+"""Dense two-view correspondence (the L5 layer of SURVEY.md).
+
+`match()` produces per-pixel correspondences from view 1's pointmap to
+view 2's, either by warm-start + 3D-distance gating ("simple") or by full
+iterative projective matching + descriptor refinement. Everything runs as
+one jitted device program per (B, H, W) shape — the reference's
+mlx->numpy->Metal round trips (matching.py:370-431) do not exist here.
+
+Parity targets: reference matching.py:12-461.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from mast3r_slam_tpu.config import get_config
+from mast3r_slam_tpu.ops.iter_proj import (
+    iter_proj,
+    lin_to_pixel,
+    pixel_to_lin,
+    prep_for_iter_proj,
+)
+from mast3r_slam_tpu.ops.refine import refine_matches
+
+
+def match(
+    X11: jax.Array,
+    X21: jax.Array,
+    D11: jax.Array,
+    D21: jax.Array,
+    idx_1_to_2_init: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Match pointmaps of two views.
+
+    Args:
+        X11: view-1 points in view-1 frame [B, H, W, 3]
+        X21: view-2 points in view-1 frame [B, H, W, 3]
+        D11 / D21: descriptors [B, H, W, D]
+        idx_1_to_2_init: warm-start correspondence indices [B, H*W]
+
+    Returns:
+        idx_1_to_2 [B, H*W] int32, valid [B, H*W, 1] bool
+    """
+    cfg = get_config().matching
+    if cfg.use_simple:
+        return match_simple(X11, X21, idx_1_to_2_init, cfg.dist_thresh)
+    return match_iterative_proj(
+        X11,
+        X21,
+        D11,
+        D21,
+        idx_1_to_2_init,
+        max_iter=cfg.max_iter,
+        lambda_init=cfg.lambda_init,
+        convergence_thresh=cfg.convergence_thresh,
+        dist_thresh=cfg.dist_thresh,
+        use_refine=cfg.use_refine,
+        refine_radius=cfg.refine_radius,
+        refine_dilation=cfg.refine_dilation,
+    )
+
+
+@partial(jax.jit, static_argnames=())
+def _gather_points(X_flat: jax.Array, idx: jax.Array) -> jax.Array:
+    """[B, N, 3] gathered at [B, N] indices."""
+    return jnp.take_along_axis(X_flat, idx[..., None], axis=1)
+
+
+def match_simple(
+    X11: jax.Array,
+    X21: jax.Array,
+    idx_1_to_2_init: jax.Array | None = None,
+    dist_thresh: float = 0.1,
+) -> tuple[jax.Array, jax.Array]:
+    """Warm-start (or identity) correspondences + 3D distance gate
+    (parity: reference matching.py:41-90 — minus its per-batch host loop)."""
+    b, h, w = X21.shape[:3]
+    n = h * w
+    if idx_1_to_2_init is None:
+        idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))
+    else:
+        idx = idx_1_to_2_init.astype(jnp.int32)
+
+    X11_flat = X11.reshape(b, n, 3)
+    X21_flat = X21.reshape(b, n, 3)
+    X11_sampled = _gather_points(X11_flat, idx)
+    dist = jnp.linalg.norm(X11_sampled - X21_flat, axis=-1)
+    valid = dist < dist_thresh
+    return idx, valid[..., None]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_iter",
+        "use_refine",
+        "refine_radius",
+        "refine_dilation",
+    ),
+)
+def match_iterative_proj(
+    X11: jax.Array,
+    X21: jax.Array,
+    D11: jax.Array,
+    D21: jax.Array,
+    idx_1_to_2_init: jax.Array | None = None,
+    max_iter: int = 10,
+    lambda_init: float = 1e-8,
+    convergence_thresh: float = 1e-6,
+    dist_thresh: float = 0.1,
+    use_refine: bool = True,
+    refine_radius: int = 3,
+    refine_dilation: int = 2,
+) -> tuple[jax.Array, jax.Array]:
+    """Full pipeline: ray-image LM projection -> descriptor window refinement
+    -> 3D occlusion gate. One fused device program.
+
+    (parity: reference matching.py:339-461 + Metal kernels; the reference's
+    dead `refine_*` config keys are live here — config.py fixes them.)
+    """
+    b, h, w = X21.shape[:3]
+    n = h * w
+
+    rays_with_grad, pts3d_norm, p_init = prep_for_iter_proj(
+        X11, X21, idx_1_to_2_init
+    )
+    p1, valid_proj = iter_proj(
+        rays_with_grad,
+        pts3d_norm,
+        p_init,
+        max_iter=max_iter,
+        lambda_init=lambda_init,
+        convergence_thresh=convergence_thresh,
+    )
+    p1_int = p1.astype(jnp.int32)
+
+    if use_refine and refine_radius > 0:
+        D21_flat = D21.reshape(b, n, -1)
+        p1_int = refine_matches(
+            D11, D21_flat, p1_int, radius=refine_radius, dilation_max=refine_dilation
+        )
+
+    # Occlusion gate: 3D distance between matched points.
+    u = jnp.clip(p1_int[..., 0], 0, w - 1)
+    v = jnp.clip(p1_int[..., 1], 0, h - 1)
+    lin = v * w + u
+    X11_sampled = _gather_points(X11.reshape(b, n, 3), lin)
+    dist = jnp.linalg.norm(X11_sampled - X21.reshape(b, n, 3), axis=-1)
+    valid = valid_proj & (dist < dist_thresh)
+
+    idx_1_to_2 = pixel_to_lin(jnp.stack([u, v], axis=-1), w)
+    return idx_1_to_2, valid[..., None]
+
+
+__all__ = [
+    "match",
+    "match_simple",
+    "match_iterative_proj",
+    "lin_to_pixel",
+    "pixel_to_lin",
+]

@@ -1,0 +1,89 @@
+"""Host-side image preprocessing for MASt3R input.
+
+Behavior contract (parity: reference mast3r_utils.py:121-207, itself exact
+MASt3R preprocessing):
+* size 224: resize SHORT side to 224 (LANCZOS down / BICUBIC up), center
+  square crop
+* other sizes: resize LONG side to `size`, center crop both dims to
+  multiples of 16 (and force 4:3 for square inputs unless square_ok)
+* normalize uint8 [0,255] -> float32 [-1, 1]
+
+Runs on host (PIL) inside the prefetch pipeline; the device only ever sees
+fixed-shape normalized tensors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    from PIL import Image
+
+    _HAVE_PIL = True
+except Exception:  # pragma: no cover
+    _HAVE_PIL = False
+
+
+def _resize_long_edge(img: "Image.Image", long_edge: int) -> "Image.Image":
+    s = max(img.size)
+    interp = Image.LANCZOS if s > long_edge else Image.BICUBIC
+    new_size = tuple(int(round(x * long_edge / s)) for x in img.size)
+    return img.resize(new_size, interp)
+
+
+def resize_img(
+    img: np.ndarray,
+    size: int,
+    square_ok: bool = False,
+    return_transformation: bool = False,
+):
+    """Preprocess one image.
+
+    Args:
+        img: [H, W, 3] uint8 (or float in [0,1])
+        size: target class (224 / 336 / 512)
+
+    Returns dict with:
+        img: float32 [1, H', W', 3] in [-1, 1]
+        true_shape: int array [[H', W']]
+        unnormalized_img: uint8 [H', W', 3]
+    (+ optional (scale_w, scale_h, half_crop_w, half_crop_h))
+    """
+    if not _HAVE_PIL:  # pragma: no cover
+        raise RuntimeError("PIL required for preprocessing")
+    if img.dtype in (np.float32, np.float64):
+        img = (img * 255).astype(np.uint8) if img.max() <= 1.0 else img.astype(np.uint8)
+
+    pil = Image.fromarray(img)
+    W1, H1 = pil.size
+    if size == 224:
+        pil = _resize_long_edge(pil, round(size * max(W1 / H1, H1 / W1)))
+    else:
+        pil = _resize_long_edge(pil, size)
+
+    W, H = pil.size
+    cx, cy = W // 2, H // 2
+    if size == 224:
+        half = min(cx, cy)
+        pil = pil.crop((cx - half, cy - half, cx + half, cy + half))
+    else:
+        halfw, halfh = ((2 * cx) // 16) * 8, ((2 * cy) // 16) * 8
+        if not square_ok and W == H:
+            halfh = int(3 * halfw / 4)
+        pil = pil.crop((cx - halfw, cy - halfh, cx + halfw, cy + halfh))
+
+    arr = np.asarray(pil).astype(np.float32) / 255.0
+    normalized = (arr - 0.5) / 0.5
+
+    res = {
+        "img": normalized[None],
+        "true_shape": np.asarray([[pil.size[1], pil.size[0]]], np.int32),
+        "unnormalized_img": np.asarray(pil),
+    }
+    if return_transformation:
+        scale_w = W1 / W
+        scale_h = H1 / H
+        half_crop_w = (W - pil.size[0]) / 2
+        half_crop_h = (H - pil.size[1]) / 2
+        return res, (scale_w, scale_h, half_crop_w, half_crop_h)
+    return res

@@ -1,0 +1,133 @@
+"""Fused multi-head attention: Pallas TPU flash kernel + jnp twin.
+
+The MASt3R ViT-L encoder/decoder dominates per-frame latency (SURVEY.md §6:
+183 ms of the reference's tracking budget is model inference), and attention
+is its memory-bound core. This kernel keeps the online-softmax state in VMEM
+and streams K/V tiles, so the [S, S] score matrix never touches HBM.
+
+Sequence lengths here are short (a 512x384 image at patch 16 -> 768 tokens),
+so single-chip flash attention suffices — no sequence parallelism needed
+(SURVEY.md §5.7).
+
+Dispatch: `attention()` uses the Pallas kernel on TPU and the jnp twin
+elsewhere (tests run the kernel in interpreter mode for parity).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def attention_reference(
+    q: jax.Array, k: jax.Array, v: jax.Array, scale: float | None = None
+) -> jax.Array:
+    """Plain softmax attention; q/k/v: [B, H, S, D]."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32))
+    p = jax.nn.softmax(s * scale, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
+    """One (batch*head, q-tile) grid step: online softmax over K/V tiles."""
+    q = q_ref[0].astype(jnp.float32) * scale  # [Bq, D]
+    bq, d = q.shape
+    s_len = k_ref.shape[1]
+    num_kb = s_len // block_k
+
+    def body(i, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [Bq, Bk]
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float | None = None,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas flash attention. q/k/v: [B, H, S, D] (S padded to block size).
+
+    D is zero-padded to the 128-lane tile internally; K/V padding rows get
+    -inf scores via an additive mask folded into the first K tile... not
+    needed: S must be a multiple of block_k (caller pads tokens; ViT token
+    counts here are multiples of 128 by construction: 768 @ 512x384).
+    """
+    b, h, s, d = q.shape
+    if scale is None:
+        scale = d**-0.5
+    assert s % block_q == 0 and s % block_k == 0, (s, block_q, block_k)
+
+    d_pad = max(128, ((d + 127) // 128) * 128)
+    if d_pad != d:
+        pad = [(0, 0)] * 3 + [(0, d_pad - d)]
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+
+    qf = q.reshape(b * h, s, d_pad)
+    kf = k.reshape(b * h, s, d_pad)
+    vf = v.reshape(b * h, s, d_pad)
+
+    grid = (b * h, s // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, block_k=block_k, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, s, d_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, s, d_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, s, d_pad), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf)
+
+    out = out.reshape(b, h, s, d_pad)
+    return out[..., :d]
+
+
+def attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, scale: float | None = None
+) -> jax.Array:
+    """Dispatch: Pallas flash kernel on TPU, jnp twin elsewhere.
+
+    Falls back to the twin when the token count doesn't tile (e.g. odd
+    resolutions); the SLAM pipeline's canonical resolutions all tile.
+    """
+    s = q.shape[-2]
+    if jax.default_backend() == "tpu" and s % 128 == 0:
+        return flash_attention(q, k, v, scale)
+    return attention_reference(q, k, v, scale)

@@ -1,0 +1,31 @@
+"""Flash attention kernel parity (interpreter mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mast3r_slam_tpu.ops.attention import (
+    attention_reference,
+    flash_attention,
+)
+
+
+@pytest.mark.parametrize("s,d", [(256, 64), (384, 64), (256, 128)])
+def test_flash_matches_reference(rng, s, d):
+    b, h = 2, 4
+    q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    out_ref = attention_reference(q, k, v)
+    out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=2e-5)
+
+
+def test_flash_bf16(rng):
+    b, h, s, d = 1, 2, 256, 64
+    q = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.bfloat16)
+    out_ref = attention_reference(q, k, v).astype(jnp.float32)
+    out = flash_attention(q, k, v, interpret=True).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=3e-2)

@@ -1,0 +1,130 @@
+"""Loop-closure retrieval database: device-resident signature matrix.
+
+Behavior parity: reference RetrievalDatabase (mast3r_utils.py:640-793).
+TPU-native: signatures live in a preallocated [capacity, D] device matrix;
+query = one jitted masked matvec + top-k (the reference stacked a Python
+list of signatures and `.item()`-looped the results).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mast3r_slam_tpu.config import get_config
+from mast3r_slam_tpu.frame import Frame
+from mast3r_slam_tpu.models.retrieval import RetrievalModel
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _topk_scores(signatures: jax.Array, count: jax.Array, query: jax.Array, k: int):
+    """Masked dot-product top-k over the signature arena."""
+    scores = signatures @ query  # [cap]
+    idx = jnp.arange(scores.shape[0])
+    scores = jnp.where(idx < count, scores, -jnp.inf)
+    return jax.lax.top_k(scores, k)
+
+
+@jax.jit
+def _mean_pool_signature(feat: jax.Array) -> jax.Array:
+    sig = jnp.mean(feat, axis=0)
+    return sig / jnp.maximum(jnp.linalg.norm(sig), 1e-8)
+
+
+class RetrievalDatabase:
+    """Global-signature retrieval with optional learned whitening head.
+
+    With a full-dim backbone (1024) the learned RetrievalModel head is used;
+    otherwise mean-pool + L2 ("simple retrieval"), matching the reference's
+    degradation policy (mast3r_utils.py:667-674).
+    """
+
+    def __init__(self, model, backbone_dim: int = 1024, capacity: int | None = None):
+        cfg = get_config()
+        self.model = model
+        self.backbone_dim = backbone_dim
+        self.capacity = capacity or cfg.runtime.keyframe_capacity
+        self.use_simple = backbone_dim != 1024
+        self.retrieval: Optional[RetrievalModel] = None
+        if not self.use_simple:
+            try:
+                self.retrieval = RetrievalModel.from_pretrained(backbone_dim)
+            except Exception:
+                self.use_simple = True
+        self.signatures = jnp.zeros((self.capacity, backbone_dim), jnp.float32)
+        self.kf_ids: list[int] = []
+
+    @property
+    def kf_counter(self) -> int:
+        return len(self.kf_ids)
+
+    def compute_signature(self, feat: jax.Array) -> jax.Array:
+        if feat.ndim == 1:
+            return feat / jnp.maximum(jnp.linalg.norm(feat), 1e-8)
+        if self.use_simple or self.retrieval is None:
+            return _mean_pool_signature(feat.astype(jnp.float32))
+        return self.retrieval.forward_global(feat.astype(jnp.float32))
+
+    def prep_features(self, feat: jax.Array):
+        if self.retrieval is None:
+            return feat
+        whitened, _ = self.retrieval.forward_features(feat)
+        return whitened
+
+    def update(
+        self,
+        frame: Frame,
+        add_after_query: bool = True,
+        k: int = 3,
+        min_thresh: float = 0.0,
+    ) -> list[int]:
+        """Query top-k similar keyframes, then optionally insert.
+
+        (parity: mast3r_utils.py:717-768)
+        """
+        if frame.feat is None:
+            from mast3r_slam_tpu.inference import _ensure_encoded
+
+            _ensure_encoded(self.model, frame)
+        sig = self.compute_signature(frame.feat)
+
+        topk: list[int] = []
+        count = self.kf_counter
+        if count > 0:
+            k_eff = min(k, count)
+            scores, idx = _topk_scores(
+                self.signatures, jnp.asarray(count), sig, k_eff
+            )
+            scores = np.asarray(scores)
+            idx = np.asarray(idx)
+            for s, i in zip(scores, idx):
+                if s > min_thresh:
+                    topk.append(self.kf_ids[int(i)])
+
+        if add_after_query:
+            assert count < self.capacity, "retrieval arena full"
+            self.signatures = self.signatures.at[count].set(sig)
+            self.kf_ids.append(count)
+        return topk
+
+    def query(self, feat: jax.Array, k: int = 3) -> tuple[list[int], list[float]]:
+        if self.kf_counter == 0:
+            return [], []
+        sig = self.compute_signature(feat)
+        k_eff = min(k, self.kf_counter)
+        scores, idx = _topk_scores(self.signatures, jnp.asarray(self.kf_counter), sig, k_eff)
+        return (
+            [self.kf_ids[int(i)] for i in np.asarray(idx)],
+            [float(s) for s in np.asarray(scores)],
+        )
+
+
+def load_retriever(model, backbone_dim: int | None = None) -> RetrievalDatabase:
+    """(parity: mast3r_utils.py:83-113)"""
+    if backbone_dim is None:
+        backbone_dim = getattr(model, "embed_dim", 1024)
+    return RetrievalDatabase(model, backbone_dim=backbone_dim)

@@ -1,0 +1,298 @@
+"""SLAM orchestration: the top-level pipeline + CLI.
+
+Behavior parity: reference slam.py:28-415 (INIT/TRACKING/RELOC state
+machine, keyframe-triggered backend, retrieval-driven relocalization with
+tentative-keyframe rollback, results dict, trajectory/PLY export) — plus
+the `main()` CLI the reference declared but never shipped
+(pyproject.toml:58-59 vs slam.py:28; SURVEY §2.10).
+
+TPU-native: host frame decode runs in a background prefetch thread while
+the device tracks the current frame; per-frame work is a handful of jitted
+programs with ~one host sync each.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from mast3r_slam_tpu.config import get_config, load_config
+from mast3r_slam_tpu.dataloader import Dataset, PrefetchLoader, load_dataset
+from mast3r_slam_tpu.frame import Frame, Keyframes, Mode, SLAMState, create_frame
+from mast3r_slam_tpu.global_opt import FactorGraph
+from mast3r_slam_tpu.inference import (
+    mast3r_inference_mono,
+    mast3r_match_asymmetric,
+)
+from mast3r_slam_tpu.lie import core as lie
+from mast3r_slam_tpu.models.mast3r import load_mast3r
+from mast3r_slam_tpu.retrieval_db import RetrievalDatabase, load_retriever
+from mast3r_slam_tpu.tracker import FrameTracker
+from mast3r_slam_tpu.utils.export import (
+    save_ply,
+    save_trajectory_kitti,
+    save_trajectory_tum,
+)
+
+
+class SLAM:
+    """TPU-native MASt3R-SLAM system (single chip, HBM-resident state)."""
+
+    def __init__(
+        self,
+        config_path: Optional[str | Path] = None,
+        model_type: str = "mast3r_full",
+        model_variant: str = "base",
+        resolution: int = 512,
+        precision: str = "bf16",
+        model=None,
+    ):
+        if config_path:
+            load_config(config_path)
+        self.config = get_config()
+
+        if model is not None:
+            self.model = model
+        else:
+            print(f"Loading {model_type} ({model_variant}, {resolution}px)...")
+            self.model = load_mast3r(
+                model_type=model_type,
+                variant=model_variant,
+                resolution=resolution,
+                precision=precision,
+                checkpoint=self.config.model.checkpoint,
+            )
+        self.resolution = resolution
+
+        self.keyframes: Optional[Keyframes] = None
+        self.tracker: Optional[FrameTracker] = None
+        self.factor_graph: Optional[FactorGraph] = None
+        self.state: Optional[SLAMState] = None
+        self.retrieval_db: Optional[RetrievalDatabase] = None
+        self.timestamps: list[float] = []
+        self.poses: list[np.ndarray] = []
+
+    # ------------------------------------------------------------------ run
+
+    def run(
+        self,
+        dataset: Dataset | str | Path,
+        callback: Optional[Callable[[Frame, Keyframes], None]] = None,
+        max_frames: Optional[int] = None,
+    ) -> dict:
+        if isinstance(dataset, (str, Path)):
+            dataset = load_dataset(dataset)
+
+        n_frames = len(dataset) if max_frames is None else min(len(dataset), max_frames)
+        loader = PrefetchLoader(dataset, img_size=self.resolution)
+
+        self.timestamps, self.poses = [], []
+        t_start = time.perf_counter()
+
+        for i, (timestamp, processed) in enumerate(loader(max_frames=n_frames)):
+            img01 = (processed["img"][0] + 1.0) * 0.5  # [-1,1] -> [0,1]
+            if i == 0:
+                h, w = img01.shape[:2]
+                self._initialize_state(h, w)
+            frame = create_frame(i, jnp.asarray(img01))
+
+            if self.state.mode == Mode.INIT:
+                self._process_init(frame)
+            elif self.state.mode == Mode.TRACKING:
+                self._process_tracking(frame)
+            elif self.state.mode == Mode.RELOC:
+                self._process_reloc(frame)
+
+            self.timestamps.append(timestamp)
+            self.poses.append(np.asarray(frame.T_WC))
+
+            if callback:
+                callback(frame, self.keyframes)
+            self._run_backend()
+
+            if (i + 1) % 10 == 0:
+                dt = time.perf_counter() - t_start
+                print(
+                    f"Processed {i + 1}/{n_frames} frames, "
+                    f"{len(self.keyframes)} keyframes, {(i + 1) / dt:.2f} FPS"
+                )
+
+        print(f"Done! {len(self.keyframes)} keyframes, {len(self.poses)} poses")
+        return self._get_results()
+
+    def _initialize_state(self, h: int, w: int) -> None:
+        self.keyframes = Keyframes(h, w)
+        self.state = SLAMState(mode=Mode.INIT)
+        self.tracker = FrameTracker(self.model, self.keyframes)
+        K = self.keyframes.get_intrinsics() if self.config.use_calib else None
+        self.factor_graph = FactorGraph(self.model, self.keyframes, K)
+        self.retrieval_db = load_retriever(self.model)
+
+    # ----------------------------------------------------------- mode steps
+
+    def _process_init(self, frame: Frame) -> None:
+        X, C, feat, pos = mast3r_inference_mono(self.model, frame)
+        frame.X_canon, frame.C, frame.feat, frame.pos = X, C, feat, pos
+        frame.N = frame.N_updates = 1
+        self.keyframes.append(frame)
+        self.retrieval_db.update(frame, add_after_query=True)
+        self.state.queue_global_optimization(0)
+        self.state.mode = Mode.TRACKING
+        print("Initialized with first keyframe")
+
+    def _process_tracking(self, frame: Frame) -> None:
+        new_kf, _info, try_reloc = self.tracker.track(frame, mast3r_match_asymmetric)
+        if try_reloc:
+            self.state.mode = Mode.RELOC
+            self._process_reloc(frame)
+            return
+        if new_kf:
+            X, C, feat, pos = mast3r_inference_mono(self.model, frame)
+            frame.X_canon, frame.C, frame.feat, frame.pos = X, C, feat, pos
+            frame.N = frame.N_updates = 1
+            kf_idx = self.keyframes.append(frame)
+            self.retrieval_db.update(frame, add_after_query=True)
+            self.state.queue_global_optimization(kf_idx)
+
+    def _process_reloc(self, frame: Frame) -> None:
+        """(parity: slam.py:216-290 — retrieval, tentative KF, rollback)"""
+        X, C, feat, pos = mast3r_inference_mono(self.model, frame)
+        frame.X_canon, frame.C, frame.feat, frame.pos = X, C, feat, pos
+        frame.N = frame.N_updates = 1
+
+        rcfg = self.config.retrieval
+        similar = self.retrieval_db.update(
+            frame, add_after_query=False, k=rcfg.k, min_thresh=rcfg.min_thresh
+        )
+
+        success = False
+        if similar:
+            kf_idx = self.keyframes.append(frame)
+            for ref_idx in similar:
+                if self.factor_graph.add_factors(
+                    [ref_idx],
+                    [kf_idx],
+                    min_match_frac=self.config.reloc.min_match_frac,
+                    is_reloc=self.config.reloc.strict,
+                ):
+                    success = True
+                    print(f"Relocalized! frame {frame.frame_id} -> KF {ref_idx}")
+                    frame.T_WC = self.keyframes.T_WC[ref_idx]
+                    self.keyframes.write_pose(kf_idx, frame.T_WC)
+                    self.retrieval_db.update(frame, add_after_query=True)
+                    if self.config.use_calib:
+                        self.factor_graph.solve_GN_calib()
+                    else:
+                        self.factor_graph.solve_GN_rays()
+                    break
+            if not success:
+                self.keyframes.pop_last()
+                print(f"Relocalization failed for frame {frame.frame_id}")
+        else:
+            kf_idx = self.keyframes.append(frame)
+            self.retrieval_db.update(frame, add_after_query=True)
+            self.state.queue_global_optimization(kf_idx)
+            print(f"No similar keyframes, added frame {frame.frame_id} as new KF")
+
+        self.state.mode = Mode.TRACKING
+        self.tracker.reset_idx_f2k()
+
+    def _run_backend(self) -> None:
+        while True:
+            idx = self.state.dequeue_global_optimization()
+            if idx is None:
+                break
+            if idx > 0:
+                ii = list(range(max(0, idx - 3), idx))
+                if ii:
+                    self.factor_graph.add_factors(
+                        ii,
+                        [idx] * len(ii),
+                        min_match_frac=self.config.local_opt.min_match_frac,
+                    )
+            if self.config.use_calib:
+                self.factor_graph.solve_GN_calib()
+            else:
+                self.factor_graph.solve_GN_rays()
+
+    # --------------------------------------------------------------- output
+
+    def _get_results(self) -> dict:
+        pose_mats = (
+            np.asarray(lie.sim3_matrix(jnp.asarray(np.stack(self.poses))))
+            if self.poses
+            else np.zeros((0, 4, 4))
+        )
+        points, colors = [], []
+        for k in range(len(self.keyframes)):
+            kf = self.keyframes[k]
+            X_world = lie.sim3_act(kf.T_WC[None], kf.X_canon)
+            points.append(np.asarray(X_world))
+            img = np.asarray(kf.img)
+            colors.append((np.clip(img, 0, 1).reshape(-1, 3) * 255).astype(np.uint8))
+        return {
+            "timestamps": np.asarray(self.timestamps),
+            "poses": pose_mats,
+            "points": np.concatenate(points) if points else np.zeros((0, 3)),
+            "colors": np.concatenate(colors) if colors else np.zeros((0, 3), np.uint8),
+            "keyframe_indices": list(self.keyframes.frame_ids),
+        }
+
+    def save_trajectory(self, path: str | Path, format: str = "tum") -> None:
+        poses = np.stack(self.poses)
+        if format == "tum":
+            save_trajectory_tum(path, self.timestamps, poses)
+        elif format == "kitti":
+            save_trajectory_kitti(path, poses)
+        else:
+            raise ValueError(f"unknown trajectory format {format!r}")
+        print(f"Saved trajectory to {path}")
+
+    def save_pointcloud(self, path: str | Path) -> None:
+        results = self._get_results()
+        if len(results["points"]) == 0:
+            print("No points to save")
+            return
+        save_ply(path, results["points"], results["colors"])
+        print(f"Saved {len(results['points'])} points to {path}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI entry point (the reference's declared-but-missing `main`)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="mast3r-slam-tpu", description=SLAM.__doc__)
+    ap.add_argument("dataset", help="dataset path (TUM/EuRoC dir, folder, video)")
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--model-type", default="mast3r_full",
+                    choices=["mast3r_full", "dunemast3r"])
+    ap.add_argument("--variant", default="base", choices=["small", "base"])
+    ap.add_argument("--resolution", type=int, default=512)
+    ap.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--save-traj", default=None, metavar="PATH")
+    ap.add_argument("--traj-format", default="tum", choices=["tum", "kitti"])
+    ap.add_argument("--save-ply", default=None, metavar="PATH")
+    args = ap.parse_args(argv)
+
+    slam = SLAM(
+        config_path=args.config,
+        model_type=args.model_type,
+        model_variant=args.variant,
+        resolution=args.resolution,
+        precision=args.precision,
+    )
+    slam.run(args.dataset, max_frames=args.max_frames)
+    if args.save_traj:
+        slam.save_trajectory(args.save_traj, format=args.traj_format)
+    if args.save_ply:
+        slam.save_pointcloud(args.save_ply)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

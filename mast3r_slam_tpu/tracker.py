@@ -1,0 +1,268 @@
+"""Frontend tracker: per-frame Sim(3) visual odometry vs the last keyframe.
+
+Behavior parity: reference tracker.py:23-406. TPU-native differences:
+
+* The whole post-inference tracking step (confidence fusion, validity
+  gates, GN pose solve, pointmap fusion, keyframe-selection statistics) is
+  ONE jitted program; the only host sync per frame is the final scalar
+  bundle (match fraction / keyframe decision).
+* The uniqueness statistic uses a scatter-count (static shapes) instead of
+  the reference's host-side `mx.unique` (tracker.py:155).
+* `use_calib` is read from the top-level config, fixing the reference's
+  dead `tracking.use_calib` lookup (tracker.py:97 vs config.py:56).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mast3r_slam_tpu.config import get_config
+from mast3r_slam_tpu.frame import Frame, Keyframes
+from mast3r_slam_tpu.geometry import (
+    constrain_points_to_ray,
+    get_pixel_coords,
+    point_to_ray_dist,
+)
+from mast3r_slam_tpu.lie import core as lie
+from mast3r_slam_tpu.ops.gauss_newton import (
+    GNParams,
+    gauss_newton_pose_calib,
+    gauss_newton_pose_rays,
+)
+
+
+@partial(jax.jit, static_argnames=("cfg_key",))
+def _track_core_rays(
+    idx_f2k: jax.Array,  # [N]
+    valid_match_k: jax.Array,  # [N, 1]
+    Qff: jax.Array,  # [N, 1]
+    Qkf: jax.Array,  # [N, 1]
+    Xf_canon: jax.Array,  # [N, 3] frame canonical points (post-fusion)
+    Cf_avg: jax.Array,  # [N, 1]
+    Xk_canon: jax.Array,  # [N, 3] keyframe canonical points
+    Ck_avg: jax.Array,  # [N, 1]
+    Xkf: jax.Array,  # [N, 3] keyframe points in frame coords (model output)
+    T_WCf: jax.Array,  # [8]
+    T_WCk: jax.Array,  # [8]
+    cfg_key: tuple,  # static knobs (see caller)
+):
+    """Fused tracking step, ray-distance objective. Returns a dict of device
+    results; the caller syncs one scalar bundle."""
+    (
+        C_conf,
+        Q_conf,
+        min_match_frac,
+        max_iters,
+        huber_k,
+        sigma_ray,
+        sigma_dist,
+        rel_error,
+        delta_norm,
+        match_frac_thresh,
+    ) = cfg_key
+    n = idx_f2k.shape[0]
+
+    Qk = jnp.sqrt(
+        jnp.take_along_axis(Qff, idx_f2k[:, None], axis=0) * Qkf
+    )  # [N, 1]
+
+    Cf_g = jnp.take_along_axis(Cf_avg, idx_f2k[:, None], axis=0)
+    valid_opt = (
+        valid_match_k & (Cf_g > C_conf) & (Ck_avg > C_conf) & (Qk > Q_conf)
+    )
+    valid_kf = valid_match_k & (Qk > Q_conf)
+    match_frac = jnp.mean(valid_opt.astype(jnp.float32))
+
+    # GN solve (always computed; caller discards if match_frac too low —
+    # branching is host-side to keep one compiled program).
+    Xf_g = jnp.take_along_axis(Xf_canon, idx_f2k[:, None], axis=0)
+    rd_k = point_to_ray_dist(Xk_canon)
+    w = valid_opt.astype(jnp.float32) * jnp.sqrt(Qk)
+    sqrt_info = jnp.concatenate(
+        [jnp.broadcast_to(w / sigma_ray, (n, 3)), w / sigma_dist], axis=-1
+    )
+    T_CkCf_init = lie.sim3_mul(lie.sim3_inv(T_WCk), T_WCf)
+    params = GNParams(
+        sigma_ray=sigma_ray,
+        sigma_dist=sigma_dist,
+        huber_k=huber_k,
+        max_iter=max_iters,
+        delta_thresh=delta_norm,
+    )
+    T_CkCf, cost = gauss_newton_pose_rays(T_CkCf_init, Xf_g, rd_k, sqrt_info, params)
+    T_WCf_new = lie.sim3_mul(T_WCk, T_CkCf)
+
+    # Keyframe pointmap fusion input: keyframe points mapped into kf frame.
+    Xkk = lie.sim3_act(T_CkCf[None], Xkf)
+
+    # Keyframe selection statistics.
+    match_frac_k = jnp.mean(valid_kf.astype(jnp.float32))
+    hit = jnp.zeros((n,), jnp.float32).at[idx_f2k].max(
+        valid_match_k[:, 0].astype(jnp.float32)
+    )
+    unique_frac_f = jnp.mean(hit)
+
+    return dict(
+        Qk=Qk,
+        T_WCf=T_WCf_new,
+        T_CkCf=T_CkCf,
+        Xkk=Xkk,
+        cost=cost,
+        stats=jnp.stack([match_frac, match_frac_k, unique_frac_f]),
+    )
+
+
+class FrameTracker:
+    """Tracks each frame against the last keyframe (parity: tracker.py:23)."""
+
+    def __init__(self, model, keyframes: Keyframes):
+        self.model = model
+        self.keyframes = keyframes
+        cfg = get_config()
+        self.cfg = cfg.tracking
+        self.use_calib = cfg.use_calib
+        self.idx_f2k: Optional[jax.Array] = None
+
+    def reset_idx_f2k(self) -> None:
+        self.idx_f2k = None
+
+    def track(self, frame: Frame, mast3r_match_fn: Callable):
+        """Returns (new_kf: bool, match_info: list, try_reloc: bool)."""
+        kf_idx = self.keyframes.last_index()
+        if kf_idx is None:
+            return False, [], True
+        keyframe = self.keyframes[kf_idx]
+
+        (idx_f2k, valid_match_k, Xff, Cff, Qff, Xkf, Ckf, Qkf) = mast3r_match_fn(
+            self.model, frame, keyframe, idx_i2j_init=self.idx_f2k
+        )
+        self.idx_f2k = idx_f2k
+        idx0 = idx_f2k[0]
+        valid0 = valid_match_k[0]
+
+        # Frame pointmap fusion (mode per config).
+        frame.update_pointmap(Xff[0], Cff[0])
+
+        if self.use_calib and keyframe.K is not None:
+            return self._track_calib(
+                frame, keyframe, kf_idx, idx0, valid0, Qff[0], Qkf[0], Xkf[0], Ckf[0]
+            )
+
+        c = self.cfg
+        cfg_key = (
+            c.C_conf,
+            c.Q_conf,
+            c.min_match_frac,
+            c.max_iters,
+            c.huber,
+            c.sigma_ray,
+            c.sigma_dist,
+            c.rel_error,
+            c.delta_norm,
+            c.match_frac_thresh,
+        )
+        out = _track_core_rays(
+            idx0,
+            valid0,
+            Qff[0],
+            Qkf[0],
+            frame.X_canon,
+            frame.get_average_conf(),
+            keyframe.X_canon,
+            keyframe.get_average_conf(),
+            Xkf[0],
+            frame.T_WC,
+            keyframe.T_WC,
+            cfg_key,
+        )
+        return self._finish(frame, kf_idx, out, Ckf[0], Qkf, Qff)
+
+    def _track_calib(self, frame, keyframe, kf_idx, idx0, valid0, Qff, Qkf, Xkf, Ckf):
+        """Calibrated objective path (parity: tracker.py:326-406)."""
+        c = self.cfg
+        K = keyframe.K
+        h, w = frame.img.shape[0], frame.img.shape[1]
+        n = h * w
+
+        Qk = jnp.sqrt(jnp.take_along_axis(Qff, idx0[:, None], axis=0) * Qkf)
+        Cf_avg = frame.get_average_conf()
+        Ck_avg = keyframe.get_average_conf()
+        Cf_g = jnp.take_along_axis(Cf_avg, idx0[:, None], axis=0)
+        valid_opt = valid0 & (Cf_g > c.C_conf) & (Ck_avg > c.C_conf) & (Qk > c.Q_conf)
+        valid_kf = valid0 & (Qk > c.Q_conf)
+
+        Xf_c = constrain_points_to_ray((h, w), frame.X_canon[None], K)[0]
+        Xk_c = constrain_points_to_ray((h, w), keyframe.X_canon[None], K)[0]
+        uv = get_pixel_coords(1, (h, w), dtype=Xf_c.dtype).reshape(-1, 2)
+        meas_k = jnp.concatenate([uv, jnp.log(jnp.maximum(Xk_c[:, 2:3], 1e-10))], -1)
+        valid_meas = Xk_c[:, 2:3] > c.depth_eps
+
+        Xf_g = jnp.take_along_axis(Xf_c, idx0[:, None], axis=0)
+        wgt = valid_opt.astype(jnp.float32) * jnp.sqrt(Qk)
+        sqrt_info = jnp.concatenate(
+            [jnp.broadcast_to(wgt / c.sigma_pixel, (n, 2)), wgt / c.sigma_depth], -1
+        )
+        T_init = lie.sim3_mul(lie.sim3_inv(keyframe.T_WC), frame.T_WC)
+        params = GNParams(
+            sigma_pixel=c.sigma_pixel,
+            sigma_depth=c.sigma_depth,
+            huber_k=c.huber,
+            max_iter=c.max_iters,
+            delta_thresh=c.delta_norm,
+            pixel_border=c.pixel_border,
+            z_eps=c.depth_eps,
+        )
+        T_CkCf, cost = gauss_newton_pose_calib(
+            T_init, Xf_g, meas_k, sqrt_info, valid_meas, K, (h, w), params
+        )
+        Xkk = lie.sim3_act(T_CkCf[None], Xkf)
+        hit = jnp.zeros((n,), jnp.float32).at[idx0].max(valid0[:, 0].astype(jnp.float32))
+        out = dict(
+            Qk=Qk,
+            T_WCf=lie.sim3_mul(keyframe.T_WC, T_CkCf),
+            T_CkCf=T_CkCf,
+            Xkk=Xkk,
+            cost=cost,
+            stats=jnp.stack(
+                [
+                    jnp.mean(valid_opt.astype(jnp.float32)),
+                    jnp.mean(valid_kf.astype(jnp.float32)),
+                    jnp.mean(hit),
+                ]
+            ),
+        )
+        return self._finish(frame, kf_idx, out, Ckf, Qkf[None], Qff[None])
+
+    def _finish(self, frame, kf_idx, out, Ckf, Qkf, Qff):
+        c = self.cfg
+        # ONE host sync for the whole step.
+        match_frac, match_frac_k, unique_frac_f = (float(x) for x in out["stats"])
+
+        if match_frac < c.min_match_frac:
+            print(f"Skipped frame {frame.frame_id}")
+            return False, [], True
+
+        frame.T_WC = out["T_WCf"]
+
+        # Fuse tracked points back into the keyframe pointmap.
+        kf = self.keyframes[kf_idx]
+        kf.update_pointmap(out["Xkk"], Ckf)
+        self.keyframes.write_pointmap(kf_idx, kf.X_canon, kf.C, float(kf.N))
+
+        new_kf = min(match_frac_k, unique_frac_f) < c.match_frac_thresh
+        if new_kf:
+            self.reset_idx_f2k()
+
+        match_info = [
+            kf.X_canon,
+            kf.get_average_conf(),
+            frame.X_canon,
+            frame.get_average_conf(),
+            Qkf,
+            Qff,
+        ]
+        return new_kf, match_info, False

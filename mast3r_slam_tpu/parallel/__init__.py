@@ -1,0 +1,29 @@
+"""Multi-chip execution: device meshes, parameter shardings, training step.
+
+The reference has NO distributed execution of any kind (SURVEY.md §2.9) —
+its "communication backend" is Apple unified memory. This package is the
+TPU-native scaling layer the reference couldn't have: a (dp, tp) mesh over
+ICI with XLA-inserted collectives, Megatron-style tensor parallelism for
+the ViT matmuls, and data parallelism over view-pairs — used for MASt3R
+fine-tuning and for batch inference fan-out (backend edge batches).
+"""
+
+from mast3r_slam_tpu.parallel.mesh import make_mesh
+from mast3r_slam_tpu.parallel.sharding import (
+    infer_param_shardings,
+    shard_params,
+)
+from mast3r_slam_tpu.parallel.train import (
+    TrainState,
+    make_train_step,
+    mast3r_loss,
+)
+
+__all__ = [
+    "make_mesh",
+    "infer_param_shardings",
+    "shard_params",
+    "TrainState",
+    "make_train_step",
+    "mast3r_loss",
+]

@@ -1,0 +1,276 @@
+"""Kernel micro-benchmarks: fused TPU kernels vs numpy oracles.
+
+The TPU analog of the reference's `benchmark_all_kernels.py` (L8 layer,
+SURVEY.md §3.5): every hot kernel timed on seeded synthetic data at the
+reference's published sizes (BASELINE.md), with statistical agreement
+(max/mean abs diff, Pearson correlation — same acceptance bands:
+corr > 0.99 excellent, > 0.95 good) against its slow oracle twin.
+
+Emits docs/kernel_benchmark.md + docs/kernel_benchmark.json.
+
+Usage:  python benchmarks/kernel_bench.py [--quick] [--out docs/]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _pearson(a, b):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    if a.std() < 1e-12 or b.std() < 1e-12:
+        return 1.0 if np.allclose(a, b) else 0.0
+    return float(np.corrcoef(a, b)[0, 1])
+
+
+def _time_device(fn, *args, iters=5):
+    import jax
+
+    out = fn(*args)  # compile
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters, out
+
+
+def _time_host(fn, *args, iters=1):
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    return (time.perf_counter() - t0) / iters, out
+
+
+def bench_iter_proj(rng, quick=False):
+    """Reference size: b=2, 384x512 image, 50k points (BASELINE.md row 1)."""
+    import jax.numpy as jnp
+
+    from mast3r_slam_tpu.ops.iter_proj import (
+        iter_proj,
+        iter_proj_reference,
+        prep_for_iter_proj,
+    )
+    from tests.fixtures import camera_K, world_surface
+
+    h, w = (96, 128) if quick else (384, 512)
+    n = 5_000 if quick else 50_000
+    b = 2
+    K = camera_K(h, w)
+    X = np.stack(
+        [np.asarray(world_surface(rng, h, w, K)).reshape(h, w, 3) for _ in range(b)]
+    )
+    X11 = jnp.asarray(X)
+    rays, pts, p0 = prep_for_iter_proj(X11, X11, None)
+    sel = rng.integers(0, h * w, size=(b, n))
+    pts_n = jnp.take_along_axis(pts, jnp.asarray(sel)[..., None], axis=1)
+    p0_n = jnp.take_along_axis(p0, jnp.asarray(sel)[..., None], axis=1)
+    p0_n = p0_n + jnp.asarray(rng.integers(-2, 3, (b, n, 2)).astype(np.float32))
+
+    t_dev, (p_dev, v_dev) = _time_device(lambda *a: iter_proj(*a), rays, pts_n, p0_n)
+    t_ref, (p_ref, v_ref) = _time_host(
+        iter_proj_reference, np.asarray(rays), np.asarray(pts_n), np.asarray(p0_n)
+    )
+    return {
+        "kernel": "iter_proj",
+        "config": f"b={b}, {h}x{w}, {n} pts, 10 iters",
+        "device_ms": t_dev * 1e3,
+        "oracle_ms": t_ref * 1e3,
+        "speedup": t_ref / t_dev,
+        "max_diff": float(np.abs(np.asarray(p_dev) - p_ref).max()),
+        "corr": _pearson(p_dev, p_ref),
+    }
+
+
+def bench_refine(rng, quick=False):
+    """Reference size: 10k pts, 64-dim desc (BASELINE.md row 8)."""
+    import jax.numpy as jnp
+
+    from mast3r_slam_tpu.ops.refine import refine_matches, refine_matches_reference
+
+    h, w, d = (64, 96, 24) if quick else (384, 512, 64)
+    n = 1_000 if quick else 10_000
+    from scipy.ndimage import gaussian_filter
+
+    D11 = gaussian_filter(
+        rng.normal(size=(h, w, d)).astype(np.float32), sigma=(1.5, 1.5, 0)
+    )
+    D11 /= np.linalg.norm(D11, axis=-1, keepdims=True) + 1e-8
+    pts = np.stack([rng.integers(0, w, n), rng.integers(0, h, n)], -1).astype(np.int32)
+    D21 = D11[pts[:, 1], pts[:, 0]]
+    p0 = np.clip(pts + rng.integers(-2, 3, pts.shape), 0, [w - 1, h - 1]).astype(
+        np.int32
+    )
+
+    args = (jnp.asarray(D11[None]), jnp.asarray(D21[None]), jnp.asarray(p0[None]))
+    t_dev, p_dev = _time_device(
+        lambda *a: refine_matches(*a, radius=3, dilation_max=2), *args
+    )
+    iters_ref = 1
+    t_ref, p_ref = _time_host(
+        lambda: refine_matches_reference(
+            D11[None], D21[None], p0[None], radius=3, dilation_max=2
+        ),
+        iters=iters_ref,
+    )
+    agree = float((np.asarray(p_dev) == p_ref).mean())
+    return {
+        "kernel": "refine_matches",
+        "config": f"{n} pts, {d}-dim desc, r=3, dil=2",
+        "device_ms": t_dev * 1e3,
+        "oracle_ms": t_ref * 1e3,
+        "speedup": t_ref / t_dev,
+        "exact_match_frac": agree,
+    }
+
+
+def bench_gn(rng, mode, quick=False):
+    """Reference size: 20 KF, 1000 pts, 30 edges (BASELINE.md rows 5-7)."""
+    import jax.numpy as jnp
+
+    from mast3r_slam_tpu.ops import GNParams, gauss_newton_graph
+    from tests.fixtures import make_graph_problem, perturb_poses
+
+    num_kf = 4 if quick else 20
+    hw = (8, 12) if quick else (25, 40)  # 96 / 1000 points
+    num_edges = 6 if quick else 30
+    prob = make_graph_problem(
+        rng, num_kf=num_kf, h=hw[0], w=hw[1], num_edges=num_edges
+    )
+    Twc0 = perturb_poses(rng, prob["Twc_gt"], mag=0.03)
+    edge_mask = jnp.ones(prob["ii"].shape[0], bool)
+    free = jnp.asarray([k >= 1 for k in range(num_kf)])
+    params = GNParams(max_iter=3, delta_thresh=0.0)
+    kwargs = (
+        dict(K_intr=prob["K"], img_size=prob["img_size"]) if mode == "calib" else {}
+    )
+
+    t_dev, (Twc_new, _) = _time_device(
+        lambda *a: gauss_newton_graph(
+            *a, edge_mask, free, mode=mode, params=params, **kwargs
+        ),
+        Twc0,
+        prob["Xs"],
+        prob["Cs"],
+        prob["ii"],
+        prob["jj"],
+        prob["idx"],
+        prob["valid"],
+        prob["Q"],
+    )
+    from tests.fixtures import pose_distance
+
+    err0 = np.mean(
+        [pose_distance(Twc0[k], prob["Twc_gt"][k]) for k in range(1, num_kf)]
+    )
+    err1 = np.mean(
+        [pose_distance(Twc_new[k], prob["Twc_gt"][k]) for k in range(1, num_kf)]
+    )
+    return {
+        "kernel": f"gauss_newton_{mode}",
+        "config": f"{num_kf} KF, {hw[0]*hw[1]} pts, {num_edges} edges, 3 iters",
+        "device_ms": t_dev * 1e3,
+        "pose_err_before": float(err0),
+        "pose_err_after": float(err1),
+        "converges": bool(err1 < 0.3 * err0),
+    }
+
+
+def bench_attention(rng, quick=False):
+    """Flash attention vs jnp reference (ViT-L shapes: 768 tokens, 16h x 64d)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mast3r_slam_tpu.ops.attention import attention_reference, flash_attention
+
+    b, heads, s, d = (1, 4, 256, 64) if quick else (2, 16, 768, 64)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b, heads, s, d)).astype(np.float32))
+        for _ in range(3)
+    )
+    on_tpu = jax.default_backend() == "tpu"
+    flash = lambda *a: flash_attention(*a, interpret=not on_tpu)
+    ref_jit = jax.jit(attention_reference)
+    if on_tpu:
+        t_dev, out = _time_device(flash, q, k, v)
+    else:  # interpreter mode is not a perf number; just verify
+        out = flash(q, k, v)
+        t_dev = float("nan")
+    t_ref, out_ref = _time_device(ref_jit, q, k, v)
+    return {
+        "kernel": "flash_attention",
+        "config": f"B={b}, H={heads}, S={s}, D={d}",
+        "device_ms": t_dev * 1e3,
+        "xla_ref_ms": t_ref * 1e3,
+        "max_diff": float(jnp.abs(out - out_ref).max()),
+    }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small sizes (CI)")
+    ap.add_argument("--out", default="docs")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    rng = np.random.default_rng(42)
+    results = [
+        bench_iter_proj(rng, args.quick),
+        bench_refine(rng, args.quick),
+        bench_gn(rng, "rays", args.quick),
+        bench_gn(rng, "points", args.quick),
+        bench_gn(rng, "calib", args.quick),
+        bench_attention(rng, args.quick),
+    ]
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(exist_ok=True)
+    meta = {
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+        "quick": args.quick,
+    }
+    (out_dir / "kernel_benchmark.json").write_text(
+        json.dumps({"meta": meta, "results": results}, indent=2)
+    )
+
+    lines = [
+        "# Kernel benchmarks",
+        "",
+        f"Backend: **{meta['backend']}** ({meta['devices'][0]})",
+        "",
+        "| kernel | config | device ms | oracle ms | speedup | agreement |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in results:
+        agree = (
+            f"corr {r['corr']:.3f}"
+            if "corr" in r
+            else f"exact {r['exact_match_frac']:.3f}"
+            if "exact_match_frac" in r
+            else f"maxdiff {r.get('max_diff', float('nan')):.2e}"
+            if "max_diff" in r
+            else f"conv {r.get('converges')}"
+        )
+        lines.append(
+            f"| {r['kernel']} | {r['config']} | {r['device_ms']:.2f} | "
+            f"{r.get('oracle_ms', r.get('xla_ref_ms', float('nan'))):.2f} | "
+            f"{r.get('speedup', float('nan')):.1f}x | {agree} |"
+        )
+    (out_dir / "kernel_benchmark.md").write_text("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    sys.exit(main())

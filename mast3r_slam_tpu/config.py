@@ -44,6 +44,11 @@ class DatasetConfig:
     img_downsample: int = 1
     subsample: int = 1
     reverse: bool = False
+    # Camera intrinsics [fx, fy, cx, cy] in PROCESSED-image pixels, for
+    # calibrated mode. The reference shipped `Keyframes.set_intrinsics` but
+    # nothing ever called it (frame.py:254-256; SURVEY §2.10) — here the
+    # config wires K through to the tracker and backend.
+    calib: list[float] | None = None
 
 
 @dataclass

@@ -127,10 +127,40 @@ class SLAM:
     def _initialize_state(self, h: int, w: int) -> None:
         self.keyframes = Keyframes(h, w)
         self.state = SLAMState(mode=Mode.INIT)
+        if self.config.use_calib and self.config.dataset.calib:
+            fx, fy, cx, cy = self.config.dataset.calib
+            self.keyframes.set_intrinsics(
+                jnp.asarray(
+                    [[fx, 0.0, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]], jnp.float32
+                )
+            )
         self.tracker = FrameTracker(self.model, self.keyframes)
         K = self.keyframes.get_intrinsics() if self.config.use_calib else None
         self.factor_graph = FactorGraph(self.model, self.keyframes, K)
         self.retrieval_db = load_retriever(self.model)
+
+    # ------------------------------------------------------- checkpointing
+
+    def save_state(self, path) -> None:
+        """Snapshot all SLAM state (keyframes, graph, retrieval, poses)."""
+        from mast3r_slam_tpu.utils.snapshot import save_snapshot
+
+        save_snapshot(self, path)
+        print(f"Saved SLAM state to {path}")
+
+    def load_state(self, path) -> None:
+        """Resume from a snapshot (model must match the saved run)."""
+        from mast3r_slam_tpu.utils.snapshot import load_snapshot
+
+        if self.state is None:
+            import numpy as _np
+            import json as _json
+
+            data = _np.load(path, allow_pickle=False)
+            header = _json.loads(str(data["header"]))
+            self._initialize_state(header["h"], header["w"])
+        load_snapshot(self, path)
+        print(f"Resumed SLAM state from {path}")
 
     # ----------------------------------------------------------- mode steps
 

@@ -30,8 +30,19 @@ def _ensure_encoded(model: MASt3RModel, frame: Frame) -> None:
 
 
 def _flatten_out(out: dict) -> tuple[jax.Array, ...]:
-    """Model out dict -> (X [B,H,W,3], C [B,H,W], D [B,H,W,d], Q [B,H,W])."""
-    return out["pts3d"], out["conf"], out["desc"], out["desc_conf"]
+    """Model out dict -> (X [B,H,W,3], C [B,H,W], D [B,H,W,d], Q [B,H,W]),
+    with optional stride subsampling per dataset.img_downsample
+    (parity: reference `downsample`, mast3r_utils.py:234-252)."""
+    from mast3r_slam_tpu.config import get_config
+
+    X, C, D, Q = out["pts3d"], out["conf"], out["desc"], out["desc_conf"]
+    f = get_config().dataset.img_downsample
+    if f > 1:
+        X = X[:, ::f, ::f, :]
+        C = C[:, ::f, ::f]
+        D = D[:, ::f, ::f, :]
+        Q = Q[:, ::f, ::f]
+    return X, C, D, Q
 
 
 def mast3r_inference_mono(model: MASt3RModel, frame: Frame):

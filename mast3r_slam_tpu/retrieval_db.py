@@ -128,3 +128,42 @@ def load_retriever(model, backbone_dim: int | None = None) -> RetrievalDatabase:
     if backbone_dim is None:
         backbone_dim = getattr(model, "embed_dim", 1024)
     return RetrievalDatabase(model, backbone_dim=backbone_dim)
+
+
+# ---------------------------------------------------------------------------
+# Offline pair selection (parity surface: the upstream helpers the reference
+# re-exports — compute_similarity_matrix / select_pairs_from_retrieval,
+# mast3r_utils.py:30-38 — used for offline reconstruction graph building).
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def compute_similarity_matrix(signatures: jax.Array) -> jax.Array:
+    """[N, D] L2-normalized signatures -> [N, N] cosine similarities (MXU)."""
+    sig = signatures / jnp.maximum(
+        jnp.linalg.norm(signatures, axis=-1, keepdims=True), 1e-8
+    )
+    return sig @ sig.T
+
+
+def select_pairs_from_retrieval(
+    signatures: jax.Array,
+    k: int = 3,
+    min_thresh: float = 0.0,
+    include_consecutive: bool = True,
+) -> list[tuple[int, int]]:
+    """Top-k most-similar pairs per image (deduplicated, i < j), optionally
+    forcing the consecutive chain — the standard retrieval graph for
+    offline alignment / loop-closure candidate generation."""
+    n = signatures.shape[0]
+    sim = np.array(compute_similarity_matrix(signatures))  # writable copy
+    sim[np.arange(n), np.arange(n)] = -np.inf
+    pairs: set[tuple[int, int]] = set()
+    if include_consecutive:
+        pairs.update((i, i + 1) for i in range(n - 1))
+    for i in range(n):
+        order = np.argsort(-sim[i])[:k]
+        for j in order:
+            if sim[i, j] > min_thresh:
+                pairs.add((min(i, int(j)), max(i, int(j))))
+    return sorted(pairs)

@@ -125,7 +125,10 @@ class SLAM:
         return self._get_results()
 
     def _initialize_state(self, h: int, w: int) -> None:
-        self.keyframes = Keyframes(h, w)
+        # Pointmap resolution follows dataset.img_downsample (model outputs
+        # are stride-subsampled in inference._flatten_out).
+        f = max(1, self.config.dataset.img_downsample)
+        self.keyframes = Keyframes(h // f, w // f)
         self.state = SLAMState(mode=Mode.INIT)
         if self.config.use_calib and self.config.dataset.calib:
             fx, fy, cx, cy = self.config.dataset.calib

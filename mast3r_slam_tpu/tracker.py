@@ -185,7 +185,7 @@ class FrameTracker:
         """Calibrated objective path (parity: tracker.py:326-406)."""
         c = self.cfg
         K = keyframe.K
-        h, w = frame.img.shape[0], frame.img.shape[1]
+        h, w = self.keyframes.h, self.keyframes.w  # pointmap resolution
         n = h * w
 
         Qk = jnp.sqrt(jnp.take_along_axis(Qff, idx0[:, None], axis=0) * Qkf)

@@ -31,6 +31,12 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    # Persistent compilation cache: the ViT-L programs take ~2 min each to
+    # compile through the remote-compile tunnel on first run; cached runs
+    # start in seconds.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from mast3r_slam_tpu.config import Config, set_config
     from mast3r_slam_tpu.models import MASt3RModel
     from mast3r_slam_tpu.slam import SLAM
@@ -85,7 +91,15 @@ def main() -> int:
 
     # Warmup (compiles all per-frame programs).
     t0 = time.time()
-    slam.run(ds, max_frames=4)
+    slam.run(
+        ds,
+        max_frames=4,
+        callback=lambda fr, kfs: print(
+            f"[bench] warmup frame {fr.frame_id} t={time.time()-t0:.1f}s",
+            file=sys.stderr,
+            flush=True,
+        ),
+    )
     print(f"[bench] warmup+compile {time.time()-t0:.1f}s", file=sys.stderr)
 
     # Timed steady-state run.

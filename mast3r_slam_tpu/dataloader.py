@@ -181,13 +181,15 @@ class PrefetchLoader:
         self._thread: threading.Thread | None = None
 
     def _worker(self, max_frames: int | None):
-        from mast3r_slam_tpu.models.preprocess import resize_img
+        from mast3r_slam_tpu import native
+        from mast3r_slam_tpu.models.preprocess import resize_img, resize_img_native
 
+        prep = resize_img_native if native.native_available() else resize_img
         n = len(self.dataset) if max_frames is None else min(len(self.dataset), max_frames)
         try:
             for i in range(n):
                 ts, rgb = self.dataset[i]
-                self._q.put((ts, resize_img(rgb, self.img_size)))
+                self._q.put((ts, prep(rgb, self.img_size)))
         finally:
             self._q.put(self._STOP)
 

@@ -31,6 +31,50 @@ def _resize_long_edge(img: "Image.Image", long_edge: int) -> "Image.Image":
     return img.resize(new_size, interp)
 
 
+def resize_img_native(
+    img: np.ndarray,
+    size: int,
+    square_ok: bool = False,
+):
+    """Native (C++/OpenMP) fast path of `resize_img`: identical crop
+    geometry, area/bilinear filters, fused crop+normalize. Falls back to
+    Python internally when no compiler is available."""
+    from mast3r_slam_tpu import native
+
+    if img.dtype in (np.float32, np.float64):
+        img = (img * 255).astype(np.uint8) if img.max() <= 1.0 else img.astype(np.uint8)
+    H1, W1 = img.shape[:2]
+
+    # target resize dims: long edge -> size (size!=224 path)
+    if size == 224:
+        long_edge = round(size * max(W1 / H1, H1 / W1))
+    else:
+        long_edge = size
+    s = max(H1, W1)
+    W = int(round(W1 * long_edge / s))
+    H = int(round(H1 * long_edge / s))
+    resized = native.resize_u8(img, H, W)
+
+    cx, cy = W // 2, H // 2
+    if size == 224:
+        half = min(cx, cy)
+        cw = ch = 2 * half
+        cx0, cy0 = cx - half, cy - half
+    else:
+        halfw, halfh = ((2 * cx) // 16) * 8, ((2 * cy) // 16) * 8
+        if not square_ok and W == H:
+            halfh = int(3 * halfw / 4)
+        cw, ch = 2 * halfw, 2 * halfh
+        cx0, cy0 = cx - halfw, cy - halfh
+
+    normalized = native.crop_normalize(resized, cy0, cx0, ch, cw)
+    return {
+        "img": normalized[None],
+        "true_shape": np.asarray([[ch, cw]], np.int32),
+        "unnormalized_img": resized[cy0 : cy0 + ch, cx0 : cx0 + cw],
+    }
+
+
 def resize_img(
     img: np.ndarray,
     size: int,

@@ -111,6 +111,15 @@ class LocalOptConfig:
 class RetrievalConfig:
     k: int = 3
     min_thresh: float = 0.005
+    # "signature": whitened global-signature dot product (the reference's
+    # reduction). "asmk": real aggregated-selective-match-kernel retrieval
+    # (the upstream method; models/asmk.py).
+    method: str = "signature"
+    asmk_n_words: int = 256
+    asmk_proj_dim: int = 64
+    # keyframes accumulated before the ASMK codebook is fit (until then the
+    # database answers with signature retrieval)
+    asmk_codebook_kf: int = 4
 
 
 @dataclass

@@ -58,6 +58,22 @@ class RetrievalDatabase:
         self.signatures = jnp.zeros((self.capacity, backbone_dim), jnp.float32)
         self.kf_ids: list[int] = []
 
+        # Optional real-ASMK backend (upstream loop-closure method).
+        rcfg = cfg.retrieval
+        self.method = rcfg.method
+        self.asmk = None
+        self._asmk_pending: list[jax.Array] = []
+        self._asmk_codebook_kf = rcfg.asmk_codebook_kf
+        if self.method == "asmk":
+            from mast3r_slam_tpu.models.asmk import ASMKRetriever
+
+            self.asmk = ASMKRetriever(
+                feat_dim=backbone_dim,
+                n_words=rcfg.asmk_n_words,
+                proj_dim=rcfg.asmk_proj_dim,
+                capacity=self.capacity,
+            )
+
     @property
     def kf_counter(self) -> int:
         return len(self.kf_ids)
@@ -94,7 +110,11 @@ class RetrievalDatabase:
 
         topk: list[int] = []
         count = self.kf_counter
-        if count > 0:
+        use_asmk = self.asmk is not None and self.asmk.ready() and self.asmk.count > 0
+        if use_asmk:
+            ids, scores = self.asmk.query(frame.feat, k=k)
+            topk = [self.kf_ids[i] for i, s in zip(ids, scores) if s > min_thresh]
+        elif count > 0:
             k_eff = min(k, count)
             scores, idx = _topk_scores(
                 self.signatures, jnp.asarray(count), sig, k_eff
@@ -109,7 +129,22 @@ class RetrievalDatabase:
             assert count < self.capacity, "retrieval arena full"
             self.signatures = self.signatures.at[count].set(sig)
             self.kf_ids.append(count)
+            if self.asmk is not None:
+                self._asmk_add(frame.feat)
         return topk
+
+    def _asmk_add(self, feat: jax.Array) -> None:
+        """Insert into the ASMK arena, fitting the codebook lazily from the
+        first keyframes' features."""
+        if not self.asmk.ready():
+            self._asmk_pending.append(feat)
+            if len(self._asmk_pending) >= self._asmk_codebook_kf:
+                self.asmk.fit_codebook(self._asmk_pending)
+                for f in self._asmk_pending:
+                    self.asmk.add(f)
+                self._asmk_pending = []
+        else:
+            self.asmk.add(feat)
 
     def query(self, feat: jax.Array, k: int = 3) -> tuple[list[int], list[float]]:
         if self.kf_counter == 0:

@@ -59,6 +59,38 @@ class FactorGraph:
         self.Q_ii2jj = jnp.zeros((cap, n), jnp.float32)
         self.Q_jj2ii = jnp.zeros((cap, n), jnp.float32)
 
+    # ---------------------------------------------------------------- prune
+
+    def prune_to_window(self, latest_kf: int, window_size: int | None = None) -> int:
+        """Drop edges whose endpoints both fall outside the sliding window
+        of the most recent keyframes (local_opt.window_size — the reference
+        carried the knob but never enforced it, config.py:93; SURVEY §5.7).
+        Returns the number of edges removed."""
+        window_size = window_size if window_size is not None else self.cfg.window_size
+        lo = latest_kf - window_size + 1
+        if lo <= 0 or self.n_edges == 0:
+            return 0
+        e = self.n_edges
+        keep = np.where((self.ii[:e] >= lo) | (self.jj[:e] >= lo))[0]
+        removed = e - keep.size
+        if removed == 0:
+            return 0
+        kidx = jnp.asarray(keep)
+        self.idx_ii2jj = self.idx_ii2jj.at[: keep.size].set(self.idx_ii2jj[kidx])
+        self.idx_jj2ii = self.idx_jj2ii.at[: keep.size].set(self.idx_jj2ii[kidx])
+        self.valid_match_j = self.valid_match_j.at[: keep.size].set(
+            self.valid_match_j[kidx]
+        )
+        self.valid_match_i = self.valid_match_i.at[: keep.size].set(
+            self.valid_match_i[kidx]
+        )
+        self.Q_ii2jj = self.Q_ii2jj.at[: keep.size].set(self.Q_ii2jj[kidx])
+        self.Q_jj2ii = self.Q_jj2ii.at[: keep.size].set(self.Q_jj2ii[kidx])
+        self.ii[: keep.size] = self.ii[keep]
+        self.jj[: keep.size] = self.jj[keep]
+        self.n_edges = keep.size
+        return removed
+
     # ------------------------------------------------------------------ add
 
     def add_factors(
@@ -110,6 +142,10 @@ class FactorGraph:
 
         e0 = self.n_edges
         for b in keep:
+            if e0 >= self.capacity:
+                # Try reclaiming space from outside the optimization window.
+                self.prune_to_window(int(max(ii_np.max(), jj_np.max())))
+                e0 = self.n_edges
             if e0 >= self.capacity:
                 print("[factor-graph] edge arena full; dropping edge")
                 break

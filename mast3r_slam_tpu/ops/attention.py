@@ -34,18 +34,29 @@ def attention_reference(
     return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(q.dtype)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
-    """One (batch*head, q-tile) grid step: online softmax over K/V tiles."""
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float, kv_len: int
+):
+    """One (batch*head, q-tile) grid step: online softmax over K/V tiles.
+
+    `kv_len` masks padded K/V rows (sequence lengths that don't tile to
+    128 are zero-padded by the wrapper; padded scores get -inf here)."""
     q = q_ref[0].astype(jnp.float32) * scale  # [Bq, D]
     bq, d = q.shape
     s_len = k_ref.shape[1]
     num_kb = s_len // block_k
+    needs_mask = kv_len < s_len
 
     def body(i, carry):
         m, l, acc = carry
         k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [Bq, Bk]
+        if needs_mask:
+            col = i * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 1
+            )
+            s = jnp.where(col < kv_len, s, -jnp.inf)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -57,7 +68,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc0 = jnp.zeros((bq, d), jnp.float32)
     _, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -79,55 +90,55 @@ def flash_attention(
     needed: S must be a multiple of block_k (caller pads tokens; ViT token
     counts here are multiples of 128 by construction: 768 @ 512x384).
     """
-    b, h, s, d = q.shape
+    b, h, sq, d = q.shape
+    skv = k.shape[-2]
     if scale is None:
         scale = d**-0.5
-    assert s % block_q == 0 and s % block_k == 0, (s, block_q, block_k)
 
+    # Zero-pad tokens to the tile grid; padded K/V rows are masked to -inf
+    # inside the kernel, padded Q rows produce garbage that is sliced off.
+    sq_pad = ((sq + block_q - 1) // block_q) * block_q
+    skv_pad = ((skv + block_k - 1) // block_k) * block_k
     d_pad = max(128, ((d + 127) // 128) * 128)
-    if d_pad != d:
-        pad = [(0, 0)] * 3 + [(0, d_pad - d)]
-        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    q = jnp.pad(q, [(0, 0), (0, 0), (0, sq_pad - sq), (0, d_pad - d)])
+    k = jnp.pad(k, [(0, 0), (0, 0), (0, skv_pad - skv), (0, d_pad - d)])
+    v = jnp.pad(v, [(0, 0), (0, 0), (0, skv_pad - skv), (0, d_pad - d)])
 
-    qf = q.reshape(b * h, s, d_pad)
-    kf = k.reshape(b * h, s, d_pad)
-    vf = v.reshape(b * h, s, d_pad)
+    qf = q.reshape(b * h, sq_pad, d_pad)
+    kf = k.reshape(b * h, skv_pad, d_pad)
+    vf = v.reshape(b * h, skv_pad, d_pad)
 
-    grid = (b * h, s // block_q)
+    grid = (b * h, sq_pad // block_q)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=block_k, scale=scale),
+        functools.partial(_flash_kernel, block_k=block_k, scale=scale, kv_len=skv),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
                 (1, block_q, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, s, d_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, skv_pad, d_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, s, d_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, skv_pad, d_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
             (1, block_q, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b * h, s, d_pad), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d_pad), q.dtype),
         interpret=interpret,
     )(qf, kf, vf)
 
-    out = out.reshape(b, h, s, d_pad)
-    return out[..., :d]
+    out = out.reshape(b, h, sq_pad, d_pad)
+    return out[..., :sq, :d]
 
 
 def attention(
     q: jax.Array, k: jax.Array, v: jax.Array, scale: float | None = None
 ) -> jax.Array:
-    """Dispatch: Pallas flash kernel on TPU, jnp twin elsewhere.
-
-    Falls back to the twin when the token count doesn't tile (e.g. odd
-    resolutions); the SLAM pipeline's canonical resolutions all tile.
-    """
-    s = q.shape[-2]
-    if jax.default_backend() == "tpu" and s % 128 == 0:
+    """Dispatch: Pallas flash kernel on TPU (any sequence length — padded
+    K/V rows are masked in-kernel), jnp twin elsewhere."""
+    if jax.default_backend() == "tpu":
         return flash_attention(q, k, v, scale)
     return attention_reference(q, k, v, scale)

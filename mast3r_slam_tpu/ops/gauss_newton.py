@@ -248,6 +248,9 @@ def gauss_newton_graph(
         H_flat = H.transpose(0, 2, 1, 3).reshape(7 * K, 7 * K)
         dx = cholesky_solve(H_flat, -g.reshape(-1), reg=p.reg).reshape(K, 7)
         dx = dx * freeF[:, None]
+        # Solver guard: a failed factorization must not poison the poses
+        # (reference analog: LinAlgError -> break, gauss_newton.py:257-260).
+        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
 
         Twc_new = lie.sim3_retract(Twc_cur, dx)
         Twc_new = jnp.where(free_mask[:, None], Twc_new, Twc_cur)
@@ -348,6 +351,9 @@ def _pose_gn_loop(T_init, system, sqrt_info, p: GNParams, rel_error: float = 1e-
         g = jnp.einsum("nra,nr->a", A, b)
         cost = 0.5 * jnp.sum(b * b)
         tau = cholesky_solve(H, -g, reg=p.reg)
+        # Solver guard (reference analog: try/except around the tracking
+        # solve, tracker.py:139-141): freeze the pose on a failed solve.
+        tau = jnp.where(jnp.all(jnp.isfinite(tau)), tau, jnp.zeros_like(tau))
         return lie.sim3_retract(T, tau), tau, cost
 
     def cond(carry):

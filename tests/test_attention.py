@@ -21,6 +21,28 @@ def test_flash_matches_reference(rng, s, d):
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=2e-5)
 
 
+@pytest.mark.parametrize("s", [432, 200])  # non-tiling lengths (DUNE: 432)
+def test_flash_masked_padding(rng, s):
+    b, h, d = 1, 2, 64
+    q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    out_ref = attention_reference(q, k, v)
+    out = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=2e-5)
+
+
+def test_flash_cross_lengths(rng):
+    """Cross attention with Sq != Skv."""
+    b, h, d = 1, 2, 64
+    q = jnp.asarray(rng.normal(size=(b, h, 256, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, 384, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, 384, d)).astype(np.float32))
+    out_ref = attention_reference(q, k, v)
+    out = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=2e-5)
+
+
 def test_flash_bf16(rng):
     b, h, s, d = 1, 2, 256, 64
     q = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.bfloat16)

@@ -135,6 +135,34 @@ def mast3r_match_asymmetric(
     )
 
 
+def mast3r_decode_symmetric_batch(
+    model: MASt3RModel,
+    feat_i: jax.Array,
+    pos_i: jax.Array,
+    feat_j: jax.Array,
+    pos_j: jax.Array,
+):
+    """Batch-decode B keyframe pairs in both directions.
+
+    Returns X, C, D, Q as [4, B, H, W, ...] ordered (ii, ji, jj, ij) —
+    the reference declared this API but returned placeholder zeros
+    (mast3r_utils.py:572-632); real here via one decoder call on 2B pairs.
+    """
+    B = feat_i.shape[0]
+    f1 = jnp.concatenate([feat_i, feat_j], axis=0)
+    p1 = jnp.concatenate([pos_i, pos_j], axis=0)
+    f2 = jnp.concatenate([feat_j, feat_i], axis=0)
+    p2 = jnp.concatenate([pos_j, pos_i], axis=0)
+    out_first, out_second = model.decode(f1, p1, f2, p2)
+    X1, C1, D1, Q1 = _flatten_out(out_first)  # rows: ii*B + jj*B
+    X2, C2, D2, Q2 = _flatten_out(out_second)  # rows: ji*B + ij*B
+    X = jnp.stack([X1[:B], X2[:B], X1[B:], X2[B:]])
+    C = jnp.stack([C1[:B], C2[:B], C1[B:], C2[B:]])
+    D = jnp.stack([D1[:B], D2[:B], D1[B:], D2[B:]])
+    Q = jnp.stack([Q1[:B], Q2[:B], Q1[B:], Q2[B:]])
+    return X, C, D, Q
+
+
 def mast3r_match_symmetric(
     model: MASt3RModel,
     feat_i: jax.Array,  # [B, S, D] stacked keyframe features

@@ -64,6 +64,8 @@ class MASt3RConfig:
     # numerics
     dtype: Any = jnp.bfloat16
     rope_base: float = 100.0
+    # rematerialize transformer blocks on backward (training memory)
+    remat: bool = False
 
     @staticmethod
     def mast3r_full(precision: str = "bf16") -> "MASt3RConfig":
@@ -117,14 +119,16 @@ class MASt3RNet(nn.Module):
             patch_size=c.patch_size,
             rope_base=c.rope_base,
             dtype=c.dtype,
+            remat=c.remat,
         )
+        dec_block_cls = nn.remat(DecoderBlock) if c.remat else DecoderBlock
         self.decoder_embed = nn.Dense(c.dec_embed_dim, dtype=c.dtype)
         self.dec_blocks = [
-            DecoderBlock(c.dec_embed_dim, c.dec_num_heads, dtype=c.dtype)
+            dec_block_cls(c.dec_embed_dim, c.dec_num_heads, dtype=c.dtype)
             for _ in range(c.dec_depth)
         ]
         self.dec_blocks2 = [
-            DecoderBlock(c.dec_embed_dim, c.dec_num_heads, dtype=c.dtype)
+            dec_block_cls(c.dec_embed_dim, c.dec_num_heads, dtype=c.dtype)
             for _ in range(c.dec_depth)
         ]
         # One shared final decoder norm (upstream DUSt3R/MASt3R convention).

@@ -42,6 +42,7 @@ def rope_2d_angles(
     Returns:
         cos, sin: [B, S, D/2] tables (pairs expanded at apply time)
     """
+    assert head_dim % 4 == 0, f"RoPE-2D needs head_dim % 4 == 0, got {head_dim}"
     half = head_dim // 2  # per-axis sub-dim
     quarter = half // 2
     freqs = 1.0 / (base ** (jnp.arange(0, quarter, dtype=jnp.float32) / quarter))
@@ -210,7 +211,11 @@ class PatchEmbed(nn.Module):
 
 
 class ViTEncoder(nn.Module):
-    """CroCo-v2 style RoPE ViT encoder (no cls token, no learned pos embed)."""
+    """CroCo-v2 style RoPE ViT encoder (no cls token, no learned pos embed).
+
+    `remat=True` rematerializes each block on the backward pass
+    (jax.checkpoint) — trades ~30% extra FLOPs for O(depth) less activation
+    HBM during fine-tuning."""
 
     embed_dim: int = 1024
     depth: int = 24
@@ -219,14 +224,16 @@ class ViTEncoder(nn.Module):
     mlp_ratio: float = 4.0
     rope_base: float = 100.0
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, img):
         x, pos = PatchEmbed(self.patch_size, self.embed_dim, self.dtype, name="patch_embed")(img)
         head_dim = self.embed_dim // self.num_heads
         rope = rope_2d_angles(pos, head_dim, self.rope_base)
+        block_cls = nn.remat(EncoderBlock) if self.remat else EncoderBlock
         for i in range(self.depth):
-            x = EncoderBlock(
+            x = block_cls(
                 self.embed_dim, self.num_heads, self.mlp_ratio, self.dtype, name=f"blocks_{i}"
             )(x, rope)
         x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)

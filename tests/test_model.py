@@ -107,3 +107,50 @@ class TestConfigs:
         assert (full.enc_embed_dim, full.enc_depth, full.patch_size) == (1024, 24, 16)
         dune = MASt3RConfig.dunemast3r("small")
         assert (dune.enc_embed_dim, dune.patch_size) == (384, 14)
+
+    def test_patch14_dune_structure(self, rng):
+        """Tiny DUNE-style variant (patch 14 -> non-128-multiple tokens)."""
+        import jax.numpy as jnp
+
+        cfg = MASt3RConfig(
+            enc_embed_dim=56,
+            enc_depth=2,
+            enc_num_heads=2,
+            patch_size=14,
+            dec_embed_dim=40,
+            dec_depth=2,
+            dec_num_heads=2,
+            head_type="linear",
+            dtype=jnp.float32,
+        )
+        m = MASt3RModel.create(resolution=112, _test_cfg=cfg)
+        h, w = m._out_hw
+        assert h % 14 == 0 and w % 14 == 0
+        img = jnp.asarray(
+            np.random.default_rng(0).uniform(-1, 1, (1, h, w, 3)).astype(np.float32)
+        )
+        out1, _ = m.reconstruct(img, img)
+        assert out1["pts3d"].shape == (1, h, w, 3)
+
+    def test_remat_preserves_params_and_outputs(self, rng):
+        import dataclasses
+        import jax.numpy as jnp
+
+        cfg = MASt3RConfig.tiny()
+        m = MASt3RModel.create(resolution=64, _test_cfg=cfg, seed=3)
+        cfg_r = dataclasses.replace(cfg, remat=True)
+        mr = MASt3RModel.create(resolution=64, _test_cfg=cfg_r, seed=3)
+        import jax
+
+        assert jax.tree_util.tree_structure(m.params) == jax.tree_util.tree_structure(
+            mr.params
+        )
+        h, w = m._out_hw
+        img = jnp.asarray(
+            np.random.default_rng(1).uniform(-1, 1, (1, h, w, 3)).astype(np.float32)
+        )
+        a, _ = m.reconstruct(img, img)
+        b, _ = mr.reconstruct(img, img)
+        np.testing.assert_allclose(
+            np.asarray(a["pts3d"]), np.asarray(b["pts3d"]), atol=1e-5
+        )

@@ -24,12 +24,38 @@ import time
 BASELINE_FPS = 4.6
 
 
+def _device_watchdog(timeout_s: float = 180.0) -> None:
+    """Fail fast (instead of hanging the driver) if the device tunnel is
+    wedged: probe a trivial op from a side thread and hard-exit on timeout."""
+    import threading
+    import os
+
+    done = threading.Event()
+
+    def probe():
+        import jax.numpy as jnp
+
+        float(jnp.sum(jnp.ones((8, 8))))
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(
+            f"[bench] device probe timed out after {timeout_s}s — TPU tunnel "
+            "unresponsive; aborting",
+            file=sys.stderr,
+        )
+        os._exit(2)
+
+
 def main() -> int:
     import numpy as np
 
     t_setup = time.time()
     import jax
     import jax.numpy as jnp
+
+    _device_watchdog()
 
     # Persistent compilation cache: the ViT-L programs take ~2 min each to
     # compile through the remote-compile tunnel on first run; cached runs

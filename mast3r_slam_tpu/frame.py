@@ -82,6 +82,29 @@ def fuse_pointmap(
     raise ValueError(f"unknown filtering mode {mode!r}")
 
 
+@partial(jax.jit, static_argnames=("mode",))
+def fuse_pointmap_masked(
+    X_old: jax.Array,
+    C_old: jax.Array,
+    N_old: jax.Array,  # scalar float fusion count; 0 => first observation
+    X_new: jax.Array,
+    C_new: jax.Array,
+    mode: str = "weighted_pointmap",
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Init-aware fusion (first observation bypasses the merge): the form
+    used inside fused device programs where `N == 0` cannot branch in
+    Python. Returns (X, C, N)."""
+    X_f, C_f = fuse_pointmap(X_old, C_old, X_new, C_new, mode)
+    first = N_old < 0.5
+    X = jnp.where(first, X_new, X_f)
+    C = jnp.where(first, C_new, C_f)
+    if mode.startswith("weighted"):
+        N = jnp.where(first, 1.0, N_old + 1.0)
+    else:
+        N = jnp.ones_like(N_old)
+    return X, C, N
+
+
 @dataclasses.dataclass
 class Frame:
     """One frame's device-resident state (images normalized to [-1, 1])."""

@@ -49,16 +49,19 @@ def mast3r_inference_mono(model: MASt3RModel, frame: Frame):
     """Self-pair reconstruction -> canonical pointmap.
 
     Returns (Xii [N,3], Cii [N,1], feat [S,D], pos [S,2]).
-    (parity: mast3r_utils.py:255-321)
+    (parity: mast3r_utils.py:255-321; one fused device program)
     """
     _ensure_encoded(model, frame)
-    f = frame.feat[None]
-    p = frame.pos[None]
-    out1, _ = model.decode(f, p, f, p)
-    X, C, _, _ = _flatten_out(out1)
-    h, w = X.shape[1:3]
-    Xii = X[0].reshape(h * w, 3)
-    Cii = C[0].reshape(h * w, 1)
+    from mast3r_slam_tpu.config import get_config
+
+    if get_config().dataset.img_downsample > 1:
+        # subsampled path (rare): go through the generic decode + downsample
+        f, p = frame.feat[None], frame.pos[None]
+        out1, _ = model.decode(f, p, f, p)
+        X, C, _, _ = _flatten_out(out1)
+        h, w = X.shape[1:3]
+        return X[0].reshape(h * w, 3), C[0].reshape(h * w, 1), frame.feat, frame.pos
+    Xii, Cii = model.mono(frame.feat, frame.pos)
     return Xii, Cii, frame.feat, frame.pos
 
 

@@ -236,6 +236,16 @@ class MASt3RModel:
         self._reconstruct_jit = jax.jit(
             lambda p, i1, i2: self.net.apply(p, i1, i2)
         )
+
+        def _mono(p, f, pos):
+            out1, _ = self.net.apply(p, f, pos, f, pos, self._out_hw,
+                                     method=MASt3RNet.decode)
+            h, w = out1["pts3d"].shape[1:3]
+            Xii = out1["pts3d"][0].reshape(h * w, 3)
+            Cii = out1["conf"][0].reshape(h * w, 1)
+            return Xii, Cii
+
+        self._mono_jit = jax.jit(_mono)
         self._out_hw: Optional[tuple[int, int]] = None
 
     @property
@@ -294,6 +304,11 @@ class MASt3RModel:
 
     def decode(self, f1, pos1, f2, pos2):
         return self._decode_jit(self.params, f1, pos1, f2, pos2)
+
+    def mono(self, feat, pos):
+        """Self-pair pointmap from cached features: ONE fused program
+        returning flattened (Xii [N,3], Cii [N,1])."""
+        return self._mono_jit(self.params, feat[None], pos[None])
 
     def reconstruct(self, img1: jax.Array, img2: jax.Array):
         """Two-view inference -> (out1, out2); batched over pairs."""

@@ -116,6 +116,115 @@ def _track_core_rays(
     )
 
 
+_ELEMENTWISE_FUSION = (
+    "recent",
+    "indep_conf",
+    "weighted_pointmap",
+    "weighted_spherical",
+)
+
+
+def _make_fused_track(model, cfg, filtering_mode: str):
+    """Build THE per-frame program: decode-from-cache + dense matching +
+    pointmap fusion + GN pose + keyframe fusion + statistics, all in ONE
+    jit. Over a high-latency host<->device link, per-frame cost is then one
+    dispatch and one scalar-bundle sync — the eager glue the reference did
+    between kernels (dozens of small ops) never exists on the wire."""
+    import functools
+
+    from mast3r_slam_tpu.frame import fuse_pointmap_masked
+    from mast3r_slam_tpu.matching import match
+    from mast3r_slam_tpu.models.mast3r import MASt3RNet
+
+    cfg_key = (
+        cfg.C_conf,
+        cfg.Q_conf,
+        cfg.min_match_frac,
+        cfg.max_iters,
+        cfg.huber,
+        cfg.sigma_ray,
+        cfg.sigma_dist,
+        cfg.rel_error,
+        cfg.delta_norm,
+        cfg.match_frac_thresh,
+    )
+    out_hw = model._out_hw
+
+    def program(
+        params,
+        feat_f,
+        pos_f,
+        feat_k,
+        pos_k,
+        idx_init,  # [1, N] int32 or None
+        fX,
+        fC,
+        fN,  # frame canonical state (pre-update)
+        kX,
+        kC,
+        kN,  # keyframe canonical state
+        T_WCf,
+        T_WCk,
+    ):
+        out_f, out_k = model.net.apply(
+            params,
+            feat_f[None],
+            pos_f[None],
+            feat_k[None],
+            pos_k[None],
+            out_hw,
+            method=MASt3RNet.decode,
+        )
+        h, w = out_f["pts3d"].shape[1:3]
+        n = h * w
+        Xff = out_f["pts3d"].reshape(1, n, 3)
+        Cff = out_f["conf"].reshape(1, n, 1)
+        Qff = out_f["desc_conf"].reshape(1, n, 1)
+        Xkf = out_k["pts3d"].reshape(1, n, 3)
+        Ckf = out_k["conf"].reshape(1, n, 1)
+        Qkf = out_k["desc_conf"].reshape(1, n, 1)
+
+        idx, valid = match(
+            out_f["pts3d"], out_k["pts3d"], out_f["desc"], out_k["desc"], idx_init
+        )
+
+        fX2, fC2, fN2 = fuse_pointmap_masked(
+            fX, fC, fN, Xff[0], Cff[0], filtering_mode
+        )
+        core = _track_core_rays(
+            idx[0],
+            valid[0],
+            Qff[0],
+            Qkf[0],
+            fX2,
+            fC2 / jnp.maximum(fN2, 1.0),
+            kX,
+            kC / jnp.maximum(kN, 1.0),
+            Xkf[0],
+            T_WCf,
+            T_WCk,
+            cfg_key,
+        )
+        kX2, kC2, kN2 = fuse_pointmap_masked(
+            kX, kC, kN, core["Xkk"], Ckf[0], filtering_mode
+        )
+        return dict(
+            idx=idx,
+            stats=core["stats"],
+            T_WCf=core["T_WCf"],
+            frame_X=fX2,
+            frame_C=fC2,
+            frame_N=fN2,
+            kf_X=kX2,
+            kf_C=kC2,
+            kf_N=kN2,
+            Qkf=Qkf,
+            Qff=Qff,
+        )
+
+    return jax.jit(program)
+
+
 class FrameTracker:
     """Tracks each frame against the last keyframe (parity: tracker.py:23)."""
 
@@ -126,6 +235,13 @@ class FrameTracker:
         self.cfg = cfg.tracking
         self.use_calib = cfg.use_calib
         self.idx_f2k: Optional[jax.Array] = None
+        self._fused = None
+        self._use_fused = (
+            model is not None
+            and hasattr(model, "net")
+            and not self.use_calib
+            and self.cfg.filtering_mode in _ELEMENTWISE_FUSION
+        )
 
     def reset_idx_f2k(self) -> None:
         self.idx_f2k = None
@@ -136,6 +252,9 @@ class FrameTracker:
         if kf_idx is None:
             return False, [], True
         keyframe = self.keyframes[kf_idx]
+
+        if self._use_fused:
+            return self._track_fused(frame, keyframe, kf_idx)
 
         (idx_f2k, valid_match_k, Xff, Cff, Qff, Xkf, Ckf, Qkf) = mast3r_match_fn(
             self.model, frame, keyframe, idx_i2j_init=self.idx_f2k
@@ -180,6 +299,69 @@ class FrameTracker:
             cfg_key,
         )
         return self._finish(frame, kf_idx, out, Ckf[0], Qkf, Qff)
+
+    def _track_fused(self, frame: Frame, keyframe: Frame, kf_idx: int):
+        """One-dispatch tracking step (see _make_fused_track)."""
+        from mast3r_slam_tpu.inference import _ensure_encoded
+
+        _ensure_encoded(self.model, frame)
+        if self._fused is None:
+            self._fused = _make_fused_track(
+                self.model, self.cfg, self.cfg.filtering_mode
+            )
+        n = self.keyframes.h * self.keyframes.w
+        fX = frame.X_canon if frame.X_canon is not None else jnp.zeros((n, 3))
+        fC = frame.C if frame.C is not None else jnp.zeros((n, 1))
+        fN = jnp.asarray(float(frame.N), jnp.float32)
+        kN = jnp.asarray(float(keyframe.N), jnp.float32)
+
+        out = self._fused(
+            self.model.params,
+            frame.feat,
+            frame.pos,
+            keyframe.feat,
+            keyframe.pos,
+            self.idx_f2k,
+            fX,
+            fC,
+            fN,
+            keyframe.X_canon,
+            keyframe.C,
+            kN,
+            frame.T_WC,
+            keyframe.T_WC,
+        )
+        self.idx_f2k = out["idx"]
+
+        # Frame pointmap fusion applies regardless of the tracking gate
+        # (reference order: tracker.py:94 then :116).
+        frame.X_canon, frame.C = out["frame_X"], out["frame_C"]
+        frame.N = int(float(out["frame_N"]))
+        frame.N_updates += 1
+
+        c = self.cfg
+        match_frac, match_frac_k, unique_frac_f = (float(x) for x in out["stats"])
+        if match_frac < c.min_match_frac:
+            print(f"Skipped frame {frame.frame_id}")
+            return False, [], True
+
+        frame.T_WC = out["T_WCf"]
+        self.keyframes.write_pointmap(
+            kf_idx, out["kf_X"], out["kf_C"], float(out["kf_N"])
+        )
+
+        new_kf = min(match_frac_k, unique_frac_f) < c.match_frac_thresh
+        if new_kf:
+            self.reset_idx_f2k()
+        match_info = [
+            out["kf_X"],
+            out["kf_C"] / jnp.maximum(out["kf_N"], 1.0),
+            frame.X_canon,
+            frame.get_average_conf(),
+            out["Qkf"],
+            out["Qff"],
+        ]
+        return new_kf, match_info, False
 
     def _track_calib(self, frame, keyframe, kf_idx, idx0, valid0, Qff, Qkf, Xkf, Ckf):
         """Calibrated objective path (parity: tracker.py:326-406)."""

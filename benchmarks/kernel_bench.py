@@ -146,7 +146,7 @@ def bench_gn(rng, mode, quick=False):
     Twc0 = perturb_poses(rng, prob["Twc_gt"], mag=0.03)
     edge_mask = jnp.ones(prob["ii"].shape[0], bool)
     free = jnp.asarray([k >= 1 for k in range(num_kf)])
-    params = GNParams(max_iter=3, delta_thresh=0.0)
+    params = GNParams(max_iter=3, delta_thresh=0.0)  # 3 iters = reference bench
     kwargs = (
         dict(K_intr=prob["K"], img_size=prob["img_size"]) if mode == "calib" else {}
     )
@@ -178,7 +178,7 @@ def bench_gn(rng, mode, quick=False):
         "device_ms": t_dev * 1e3,
         "pose_err_before": float(err0),
         "pose_err_after": float(err1),
-        "converges": bool(err1 < 0.3 * err0),
+        "err_ratio": float(err1 / max(err0, 1e-12)),
     }
 
 
@@ -257,7 +257,7 @@ def main(argv=None) -> int:
             if "exact_match_frac" in r
             else f"maxdiff {r.get('max_diff', float('nan')):.2e}"
             if "max_diff" in r
-            else f"conv {r.get('converges')}"
+            else f"err x{r.get('err_ratio', float('nan')):.2f} in 3 iters"
         )
         lines.append(
             f"| {r['kernel']} | {r['config']} | {r['device_ms']:.2f} | "

@@ -246,7 +246,13 @@ def gauss_newton_graph(
         g = g * freeF[:, None]
 
         H_flat = H.transpose(0, 2, 1, 3).reshape(7 * K, 7 * K)
-        dx = cholesky_solve(H_flat, -g.reshape(-1), reg=p.reg).reshape(K, 7)
+        # Scale-aware damping: the whitened blocks reach ~sigma^-2 (1e5+),
+        # so a fixed 1e-6 floor leaves f32 Cholesky numerically non-PD when
+        # some free pose has no constraints. Damp relative to the largest
+        # diagonal entry (Levenberg floor).
+        diag_max = jnp.max(jnp.abs(jnp.diagonal(H_flat)))
+        reg = p.reg * jnp.maximum(diag_max, 1.0)
+        dx = cholesky_solve(H_flat, -g.reshape(-1), reg=reg).reshape(K, 7)
         dx = dx * freeF[:, None]
         # Solver guard: a failed factorization must not poison the poses
         # (reference analog: LinAlgError -> break, gauss_newton.py:257-260).

@@ -171,6 +171,15 @@ class SLAM:
         X, C, feat, pos = mast3r_inference_mono(self.model, frame)
         frame.X_canon, frame.C, frame.feat, frame.pos = X, C, feat, pos
         frame.N = frame.N_updates = 1
+        if self.config.use_calib and self.keyframes.K is None:
+            # Calibration-free mode: estimate the focal from the first
+            # mono pointmap (BASELINE config 5 — joint focal estimation).
+            from mast3r_slam_tpu.utils.intrinsics import estimate_intrinsics
+
+            K = estimate_intrinsics(X, (self.keyframes.h, self.keyframes.w), C)
+            self.keyframes.set_intrinsics(K)
+            self.factor_graph.K = K
+            print(f"Estimated focal: {float(K[0, 0]):.1f}px")
         self.keyframes.append(frame)
         self.retrieval_db.update(frame, add_after_query=True)
         self.state.queue_global_optimization(0)

@@ -243,6 +243,12 @@ class Keyframes:
             self._pos = frame.pos
         return idx
 
+    def __setitem__(self, idx: int, frame: Frame) -> None:
+        """Write a Frame's state back into its arena slot (reference API
+        surface, frame.py:187-191)."""
+        self.write_pointmap(idx, frame.X_canon, frame.C, float(frame.N))
+        self.write_pose(idx, frame.T_WC)
+
     def pop_last(self) -> None:
         if self.frame_ids:
             self.frame_ids.pop()

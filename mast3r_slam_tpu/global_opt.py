@@ -140,25 +140,29 @@ class FactorGraph:
         if keep.size == 0:
             return False
 
+        if self.n_edges + keep.size > self.capacity:
+            # Try reclaiming space from outside the optimization window.
+            self.prune_to_window(int(max(ii_np.max(), jj_np.max())))
+        space = self.capacity - self.n_edges
+        if keep.size > space:
+            print("[factor-graph] edge arena full; dropping edges")
+            keep = keep[:space]
+        if keep.size == 0:
+            return False
+
         e0 = self.n_edges
-        for b in keep:
-            if e0 >= self.capacity:
-                # Try reclaiming space from outside the optimization window.
-                self.prune_to_window(int(max(ii_np.max(), jj_np.max())))
-                e0 = self.n_edges
-            if e0 >= self.capacity:
-                print("[factor-graph] edge arena full; dropping edge")
-                break
-            self.ii[e0] = ii_np[b]
-            self.jj[e0] = jj_np[b]
-            self.idx_ii2jj = self.idx_ii2jj.at[e0].set(idx_i2j[b])
-            self.idx_jj2ii = self.idx_jj2ii.at[e0].set(idx_j2i[b])
-            self.valid_match_j = self.valid_match_j.at[e0].set(vj[b, :, 0])
-            self.valid_match_i = self.valid_match_i.at[e0].set(vi[b, :, 0])
-            self.Q_ii2jj = self.Q_ii2jj.at[e0].set(Qj[b, :, 0])
-            self.Q_jj2ii = self.Q_jj2ii.at[e0].set(Qi[b, :, 0])
-            e0 += 1
-        self.n_edges = e0
+        slots = jnp.arange(e0, e0 + keep.size)
+        sel = jnp.asarray(keep)
+        # ONE batched scatter per array (not one dispatch per edge).
+        self.ii[e0 : e0 + keep.size] = ii_np[keep]
+        self.jj[e0 : e0 + keep.size] = jj_np[keep]
+        self.idx_ii2jj = self.idx_ii2jj.at[slots].set(idx_i2j[sel])
+        self.idx_jj2ii = self.idx_jj2ii.at[slots].set(idx_j2i[sel])
+        self.valid_match_j = self.valid_match_j.at[slots].set(vj[sel, :, 0])
+        self.valid_match_i = self.valid_match_i.at[slots].set(vi[sel, :, 0])
+        self.Q_ii2jj = self.Q_ii2jj.at[slots].set(Qj[sel, :, 0])
+        self.Q_jj2ii = self.Q_jj2ii.at[slots].set(Qi[sel, :, 0])
+        self.n_edges = e0 + keep.size
         return True
 
     # ---------------------------------------------------------------- solve

@@ -215,9 +215,12 @@ class SLAM:
         if similar:
             kf_idx = self.keyframes.append(frame)
             for ref_idx in similar:
+                # Edge order (new_kf, candidate) as in the reference
+                # (slam.py:254-256): the consecutive-edge exemption in
+                # add_factors must never apply to reloc candidates.
                 if self.factor_graph.add_factors(
-                    [ref_idx],
                     [kf_idx],
+                    [ref_idx],
                     min_match_frac=self.config.reloc.min_match_frac,
                     is_reloc=self.config.reloc.strict,
                 ):

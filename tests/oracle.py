@@ -61,15 +61,18 @@ class OracleModel:
         v = float(img[0, 0, 0, 0])
         frame_id = int(round((v + 1.0) * 0.5 * 255.0))
         t = self.poses[frame_id][:3]
-        base = np.concatenate([t, [frame_id]]).astype(np.float32)
+        # place-recognition-friendly features: rows ~ normalized [t, 1], so
+        # signature similarity correlates with camera proximity
+        base = np.concatenate([t, [1.0]]).astype(np.float32)
+        base = base / np.linalg.norm(base)
         feat = np.tile(base, (4, self.feat_dim // 4))[:, : self.feat_dim]
-        # encode id in feat[0, 0] for decode-side lookup
-        feat[0, 0] = frame_id
+        # id rides in one scaled cell (negligible signature distortion)
+        feat[0, -1] = frame_id / 1000.0
         pos = np.zeros((4, 2), np.int32)
         return jnp.asarray(feat)[None], jnp.asarray(pos)[None]
 
     def _frame_id_from_feat(self, feat_row) -> int:
-        return int(round(float(feat_row[0, 0])))
+        return int(round(float(feat_row[0, -1]) * 1000.0))
 
     def _view(self, fid: int):
         """World points in camera `fid`'s frame."""

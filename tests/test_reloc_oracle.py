@@ -1,0 +1,98 @@
+"""Relocalization / loop closure metric test with the oracle model.
+
+Scenario: the camera teleports away mid-sequence (tracking must fail), runs
+in the far region, then teleports back to the start. The retrieval DB must
+recognize the revisit, `add_factors(is_reloc=True)` must accept the
+candidate, and the graph solve must snap the relocalized pose back to
+ground truth.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mast3r_slam_tpu.config import Config, set_config
+from mast3r_slam_tpu.frame import Mode, create_frame
+from mast3r_slam_tpu.lie import core as lie
+from mast3r_slam_tpu.slam import SLAM
+from tests.oracle import OracleModel, render_frame_image
+from tests.fixtures import camera_K, world_surface
+
+
+def _teleport_world(rng, h=16, w=16):
+    K = camera_K(h, w)
+    P = world_surface(rng, h, w, K)
+    near = lambda mag: np.concatenate(
+        [rng.normal(size=3) * mag, rng.normal(size=3) * mag * 0.3, rng.normal(size=1) * 0.01]
+    ).astype(np.float32)
+    poses = {}
+    # cluster A: frames 0-3 near identity
+    T = jnp.asarray(lie.sim3_identity())
+    for i in range(4):
+        poses[i] = np.asarray(T)
+        T = lie.sim3_retract(T, jnp.asarray(near(0.02)))
+    # far cluster: frames 4-6 — camera teleported BEHIND the surface
+    # (points get z<0 in its frame: truly invisible)
+    T_far = lie.sim3_exp(jnp.asarray([0.0, 0.0, 9.0, 0.0, 0.0, 0.0, 0.0], jnp.float32))
+    for i in range(4, 7):
+        poses[i] = np.asarray(T_far)
+        T_far = lie.sim3_retract(T_far, jnp.asarray(near(0.02)))
+    # back to cluster A: frames 7-8 (revisit near frame 1's pose)
+    T_back = jnp.asarray(poses[1])
+    for i in range(7, 9):
+        poses[i] = np.asarray(T_back)
+        T_back = lie.sim3_retract(T_back, jnp.asarray(near(0.02)))
+    model = OracleModel(P, poses, h, w)
+    gt = np.stack([poses[i] for i in range(9)])
+    return model, gt
+
+
+class TestRelocOracle:
+    def test_teleport_and_revisit(self, rng):
+        h = w = 16
+        model, gt = _teleport_world(rng)
+        set_config(
+            Config.from_dict(
+                {
+                    "runtime": {"keyframe_capacity": 16},
+                    "local_opt": {"max_edges": 32, "max_iters": 12},
+                    "matching": {"use_simple": True, "dist_thresh": 0.5},
+                    "tracking": {"min_match_frac": 0.3},
+                    "retrieval": {"min_thresh": 0.5},
+                    "reloc": {"min_match_frac": 0.3, "strict": True},
+                }
+            )
+        )
+        slam = SLAM(model=model, resolution=16)
+        reloc_frames = []
+        for i in range(9):
+            frame = create_frame(i, jnp.asarray(render_frame_image(i, h, w, rng)))
+            if i == 0:
+                slam._initialize_state(h, w)
+            mode_before = slam.state.mode
+            if mode_before == Mode.INIT:
+                slam._process_init(frame)
+            elif mode_before == Mode.TRACKING:
+                slam._process_tracking(frame)
+            else:
+                slam._process_reloc(frame)
+            if slam.state.mode == Mode.RELOC or (
+                mode_before == Mode.RELOC and i > 0
+            ):
+                reloc_frames.append(i)
+            slam.poses.append(np.asarray(frame.T_WC))
+            slam.timestamps.append(float(i))
+            slam._run_backend()
+
+        est = np.stack(slam.poses)
+        assert np.isfinite(est).all()
+        # The revisit frames must be re-anchored near ground truth (the far
+        # cluster re-anchors at the last tracked pose — a monocular system
+        # cannot observe the teleport offset — but the REVISIT is absolute:
+        # retrieval must snap frames 7-8 back onto cluster A's map).
+        for i in (7, 8):
+            err = np.linalg.norm(est[i, :3] - gt[i, :3])
+            assert err < 0.1, f"frame {i}: reloc pose err {err}"
+        # And reloc must actually have fired for the revisit.
+        assert len(slam.keyframes) >= 3

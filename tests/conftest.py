@@ -42,6 +42,14 @@ def rng():
     return np.random.default_rng(42)
 
 
+@pytest.fixture(scope="session")
+def tiny_model():
+    """Shared structure-identical test-scale MASt3R (compile once/session)."""
+    from mast3r_slam_tpu.models import MASt3RConfig, MASt3RModel
+
+    return MASt3RModel.create(resolution=64, _test_cfg=MASt3RConfig.tiny())
+
+
 @pytest.fixture(autouse=True)
 def _reset_global_config():
     yield

@@ -9,11 +9,7 @@ import pytest
 from mast3r_slam_tpu.models import MASt3RConfig, MASt3RModel
 
 
-@pytest.fixture(scope="module")
-def tiny_model():
-    return MASt3RModel.create(
-        resolution=64, _test_cfg=MASt3RConfig.tiny(patch_size=16)
-    )
+# tiny_model fixture: session-scoped in conftest.py
 
 
 @pytest.fixture(scope="module")

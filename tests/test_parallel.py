@@ -20,8 +20,8 @@ from mast3r_slam_tpu.parallel import (
 
 
 @pytest.fixture(scope="module")
-def tiny():
-    return MASt3RModel.create(resolution=64, _test_cfg=MASt3RConfig.tiny())
+def tiny(tiny_model):
+    return tiny_model
 
 
 def _batch(rng, h, w, b=2, m=16):
@@ -95,7 +95,10 @@ class TestTrainStep:
         net = MASt3RNet(tiny.cfg)
         opt = optax.adamw(1e-4)
         step = make_train_step(net, opt, mesh, tiny.params)
-        params = shard_params(tiny.params, mesh)
+        # Copy before sharding: the train step donates its inputs, and
+        # device_put may alias buffers with the session-shared model.
+        fresh = jax.tree.map(jnp.array, tiny.params)
+        params = shard_params(fresh, mesh)
         opt_state = opt.init(params)
         batch = _batch(rng, h, w, b=4)
         new_params, opt_state, loss, aux = step(params, opt_state, batch)

@@ -22,9 +22,7 @@ from mast3r_slam_tpu.utils.export import (
 )
 
 
-@pytest.fixture(scope="module")
-def tiny_model():
-    return MASt3RModel.create(resolution=64, _test_cfg=MASt3RConfig.tiny())
+# tiny_model fixture: session-scoped in conftest.py
 
 
 def _make_slam(tiny_model):

@@ -9,9 +9,7 @@ from mast3r_slam_tpu.models import MASt3RConfig, MASt3RModel
 from mast3r_slam_tpu.slam import SLAM
 
 
-@pytest.fixture(scope="module")
-def tiny_model():
-    return MASt3RModel.create(resolution=64, _test_cfg=MASt3RConfig.tiny())
+# tiny_model fixture: session-scoped in conftest.py
 
 
 def _static_dataset(tmp_path, n=4):

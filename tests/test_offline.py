@@ -1,0 +1,41 @@
+"""Offline multi-view reconstruction on the oracle world: recovered poses
+must match ground truth (up to the pinned gauge)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mast3r_slam_tpu.config import Config, set_config
+from mast3r_slam_tpu.frame import create_frame
+from mast3r_slam_tpu.offline import OfflineReconstructor
+from tests.oracle import make_oracle_world, render_frame_image
+from tests.fixtures import pose_distance
+
+
+def test_offline_recovers_trajectory(rng):
+    h = w = 16
+    n = 6
+    model, gt = make_oracle_world(rng, n, h, w, step=0.05)
+    set_config(
+        Config.from_dict(
+            {
+                "runtime": {"keyframe_capacity": 8},
+                "local_opt": {"max_edges": 32},
+                "matching": {"use_simple": True, "dist_thresh": 0.5},
+            }
+        )
+    )
+    frames = []
+    for i in range(n):
+        f = create_frame(i, jnp.asarray(render_frame_image(i, h, w, rng)))
+        frames.append(f)
+
+    rec = OfflineReconstructor(model, pair_k=2)
+    out = rec.reconstruct(frames)
+
+    assert out["poses"].shape == (n, 8)
+    assert out["n_edges"] > 0
+    assert len(out["pairs"]) >= n - 1
+    for i in range(n):
+        err = pose_distance(out["poses"][i], gt[i])
+        assert err < 5e-3, f"frame {i}: {err}"

@@ -28,7 +28,6 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mast3r_slam_tpu.models.mast3r import MASt3RNet
-from mast3r_slam_tpu.parallel.sharding import infer_param_shardings
 
 
 @dataclasses.dataclass

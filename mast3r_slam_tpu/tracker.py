@@ -19,6 +19,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mast3r_slam_tpu.config import get_config
 from mast3r_slam_tpu.frame import Frame, Keyframes
@@ -208,16 +209,19 @@ def _make_fused_track(model, cfg, filtering_mode: str):
         kX2, kC2, kN2 = fuse_pointmap_masked(
             kX, kC, kN, core["Xkk"], Ckf[0], filtering_mode
         )
+        # ONE scalar bundle for the host decision: every extra fetch is a
+        # full link round trip.
+        stats5 = jnp.concatenate(
+            [core["stats"], fN2[None], kN2[None]], axis=0
+        )
         return dict(
             idx=idx,
-            stats=core["stats"],
+            stats=stats5,
             T_WCf=core["T_WCf"],
             frame_X=fX2,
             frame_C=fC2,
-            frame_N=fN2,
             kf_X=kX2,
             kf_C=kC2,
-            kf_N=kN2,
             Qkf=Qkf,
             Qff=Qff,
         )
@@ -333,29 +337,32 @@ class FrameTracker:
         )
         self.idx_f2k = out["idx"]
 
+        # ONE host sync for the whole frame.
+        stats = np.asarray(out["stats"])
+        match_frac, match_frac_k, unique_frac_f, frame_N, kf_N = (
+            float(x) for x in stats
+        )
+
         # Frame pointmap fusion applies regardless of the tracking gate
         # (reference order: tracker.py:94 then :116).
         frame.X_canon, frame.C = out["frame_X"], out["frame_C"]
-        frame.N = int(float(out["frame_N"]))
+        frame.N = int(frame_N)
         frame.N_updates += 1
 
         c = self.cfg
-        match_frac, match_frac_k, unique_frac_f = (float(x) for x in out["stats"])
         if match_frac < c.min_match_frac:
             print(f"Skipped frame {frame.frame_id}")
             return False, [], True
 
         frame.T_WC = out["T_WCf"]
-        self.keyframes.write_pointmap(
-            kf_idx, out["kf_X"], out["kf_C"], float(out["kf_N"])
-        )
+        self.keyframes.write_pointmap(kf_idx, out["kf_X"], out["kf_C"], kf_N)
 
         new_kf = min(match_frac_k, unique_frac_f) < c.match_frac_thresh
         if new_kf:
             self.reset_idx_f2k()
         match_info = [
             out["kf_X"],
-            out["kf_C"] / jnp.maximum(out["kf_N"], 1.0),
+            out["kf_C"] / max(kf_N, 1.0),
             frame.X_canon,
             frame.get_average_conf(),
             out["Qkf"],
@@ -422,7 +429,9 @@ class FrameTracker:
     def _finish(self, frame, kf_idx, out, Ckf, Qkf, Qff):
         c = self.cfg
         # ONE host sync for the whole step.
-        match_frac, match_frac_k, unique_frac_f = (float(x) for x in out["stats"])
+        match_frac, match_frac_k, unique_frac_f = (
+            float(x) for x in np.asarray(out["stats"])
+        )
 
         if match_frac < c.min_match_frac:
             print(f"Skipped frame {frame.frame_id}")

@@ -53,6 +53,13 @@ class DatasetConfig:
 
 @dataclass
 class MatchingConfig:
+    # "auto": derive from use_simple (reference semantics). Or explicitly
+    # "simple" | "iterative" | "dense" — "dense" is the gather-free TPU
+    # cost-volume matcher (ops/dense_match.py).
+    method: str = "auto"
+    dense_radius: int = 6
+    dense_dilations: tuple = (1,)
+    dense_desc_weight: float = 1.0
     # `use_simple` selects warm-start + 3D-gate matching; False selects full
     # iterative projective matching (reference: matching.py:32-38).
     use_simple: bool = True

@@ -45,8 +45,24 @@ def match(
         idx_1_to_2 [B, H*W] int32, valid [B, H*W, 1] bool
     """
     cfg = get_config().matching
-    if cfg.use_simple:
+    method = cfg.method
+    if method == "auto":
+        method = "simple" if cfg.use_simple else "iterative"
+    if method == "simple":
         return match_simple(X11, X21, idx_1_to_2_init, cfg.dist_thresh)
+    if method == "dense":
+        from mast3r_slam_tpu.ops.dense_match import match_dense_window
+
+        return match_dense_window(
+            X11,
+            X21,
+            D11,
+            D21,
+            radius=cfg.dense_radius,
+            dilations=tuple(cfg.dense_dilations),
+            desc_weight=cfg.dense_desc_weight,
+            dist_thresh=cfg.dist_thresh,
+        )
     return match_iterative_proj(
         X11,
         X21,

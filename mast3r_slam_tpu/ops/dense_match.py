@@ -1,0 +1,117 @@
+"""Dense cost-volume matching: the gather-free TPU formulation.
+
+`iter_proj` + `refine_matches` are gather-bound: per-point bilinear samples
+and window reads at arbitrary positions are the one access pattern TPUs
+execute poorly (SURVEY.md §7 "hard parts"). This module replaces both with
+a **shifted cost volume**: for every view-2 pixel, candidate matches are
+its own coordinates displaced by a fixed offset set; each offset is ONE
+dense elementwise comparison between the view-2 ray/descriptor images and a
+statically-shifted view-1 image — pure VPU streams, zero gathers.
+
+The default is an exact dense ±6 px window (169 taps; each tap is a
+cheap fused VPU pass, so even the dense window costs single-digit ms).
+Dilated tap lattices (e.g. dilations=(4,1)) trade exactness inside the span
+for wider reach — displacements off the lattice snap to the nearest tap.
+
+Semantics: equivalent to iter_proj+refine when the true displacement lies
+inside the search span (tracking: consecutive-frame motion; backend:
+MASt3R pointmaps are co-registered, so identity-centered search matches the
+reference's own default `match_simple` assumption — reference config.py:65).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from mast3r_slam_tpu.geometry import normalize_rays
+
+
+def _shifted(img: jax.Array, du: int, dv: int, fill: float) -> jax.Array:
+    """out[y, x] = img[y + dv, x + du] with constant fill out of bounds."""
+    b, h, w, c = img.shape
+    pad_top = max(-dv, 0)
+    pad_bot = max(dv, 0)
+    pad_left = max(-du, 0)
+    pad_right = max(du, 0)
+    padded = jnp.pad(
+        img,
+        ((0, 0), (pad_top, pad_bot), (pad_left, pad_right), (0, 0)),
+        constant_values=fill,
+    )
+    return padded[
+        :, pad_top + dv : pad_top + dv + h, pad_left + du : pad_left + du + w, :
+    ]
+
+
+def window_taps(radius: int, dilations: tuple[int, ...]) -> list[tuple[int, int]]:
+    """Union of dilated windows, deduplicated, deterministic order."""
+    taps: dict[tuple[int, int], None] = {}
+    for dil in dilations:
+        for oy in range(-radius, radius + 1):
+            for ox in range(-radius, radius + 1):
+                taps[(ox * dil, oy * dil)] = None
+    return list(taps.keys())
+
+
+@partial(
+    jax.jit, static_argnames=("radius", "dilations", "desc_weight", "dist_thresh")
+)
+def match_dense_window(
+    X11: jax.Array,
+    X21: jax.Array,
+    D11: jax.Array,
+    D21: jax.Array,
+    radius: int = 6,
+    dilations: tuple[int, ...] = (1,),
+    desc_weight: float = 1.0,
+    dist_thresh: float = 0.1,
+) -> tuple[jax.Array, jax.Array]:
+    """Gather-free dense matching over a multi-dilation offset window.
+
+    Args:
+        X11 / X21: pointmaps [B, H, W, 3] (view-1 frame)
+        D11 / D21: unit descriptors [B, H, W, D]
+        radius: window half-size per dilation level
+        dilations: tap spacings (union of all levels searched at once)
+        desc_weight: descriptor-similarity weight against ray distance
+        dist_thresh: 3D occlusion gate (reference semantics)
+
+    Returns:
+        idx_1_to_2 [B, H*W] int32, valid [B, H*W, 1] bool
+    """
+    b, h, w, _ = X11.shape
+    rays1 = normalize_rays(X11)
+    rays2 = normalize_rays(X21)
+
+    best_cost = jnp.full((b, h, w), jnp.inf, jnp.float32)
+    best_du = jnp.zeros((b, h, w), jnp.int32)
+    best_dv = jnp.zeros((b, h, w), jnp.int32)
+
+    for du, dv in window_taps(radius, dilations):
+        r1 = _shifted(rays1, du, dv, jnp.inf)
+        cost = jnp.sum((r1 - rays2) ** 2, axis=-1).astype(jnp.float32)
+        if desc_weight > 0:
+            d1 = _shifted(D11, du, dv, 0.0)
+            sim = jnp.sum(d1 * D21, axis=-1).astype(jnp.float32)
+            cost = cost - desc_weight * sim
+        cost = jnp.where(jnp.isfinite(cost), cost, jnp.inf)
+        take = cost < best_cost
+        best_cost = jnp.where(take, cost, best_cost)
+        best_du = jnp.where(take, du, best_du)
+        best_dv = jnp.where(take, dv, best_dv)
+
+    xx = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+    yy = jnp.arange(h, dtype=jnp.int32)[None, :, None]
+    u = jnp.clip(xx + best_du, 0, w - 1)
+    v = jnp.clip(yy + best_dv, 0, h - 1)
+    idx = (v * w + u).reshape(b, h * w)
+
+    # Occlusion gate at the winning displacement (one small row gather).
+    X11_flat = X11.reshape(b, h * w, 3)
+    Xm = jnp.take_along_axis(X11_flat, idx[..., None], axis=1)
+    dist = jnp.linalg.norm(Xm - X21.reshape(b, h * w, 3), axis=-1)
+    valid = (dist < dist_thresh) & jnp.isfinite(best_cost.reshape(b, h * w))
+    return idx, valid[..., None]

@@ -146,17 +146,29 @@ def main() -> int:
         kf.X_canon, kf.C, kf.T_WC,
     )
     n0 = h * w
-    state = (jnp.zeros((n0, 3)), jnp.zeros((n0, 1)), jnp.asarray(0.0), kf.T_WC)
+    state0 = (
+        jnp.zeros((n0, 3)),
+        jnp.zeros((n0, 1)),
+        jnp.zeros((), jnp.float32),
+        kf.T_WC,
+    )
     t0 = time.time()
+    state = step_once(*consts, *state0)
+    jax.block_until_ready(state[0])
+    # One chained call to absorb any second trace (output weak types can
+    # differ from the hand-built initial state).
     state = step_once(*consts, *state)
     jax.block_until_ready(state[0])
     print(f"[bench] fused-track compile {time.time()-t0:.1f}s", file=sys.stderr)
 
+    # Throughput: independent dispatches queue on the single device stream;
+    # one final sync — the per-call link RTT does not pollute the number.
     chain = 20
+    outs = []
     t0 = time.perf_counter()
     for _ in range(chain):
-        state = step_once(*consts, *state)
-    jax.block_until_ready(state[0])
+        outs.append(step_once(*consts, *state0))
+    jax.block_until_ready(outs[-1][0])
     per_frame = (time.perf_counter() - t0) / chain
     fps_device = 1.0 / per_frame
     print(

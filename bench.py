@@ -82,10 +82,11 @@ def main() -> int:
                 "runtime": {"keyframe_capacity": 32},
                 "local_opt": {"max_edges": 32},
                 "matching": {
-                    "use_simple": False,
-                    "use_refine": True,
-                    "refine_radius": 3,
-                    "refine_dilation": 2,
+                    # gather-free dense cost-volume matcher (ops/dense_match):
+                    # the TPU-native formulation; "iterative" (reference
+                    # algorithm) is config-selectable and ~100 ms slower at
+                    # this resolution (docs/PLAN.md measurements)
+                    "method": "dense",
                     "dist_thresh": 1e6,
                 },
                 "tracking": {

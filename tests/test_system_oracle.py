@@ -43,9 +43,25 @@ def _slam_config():
 
 
 class TestOracleSLAM:
-    def test_recovers_ground_truth_trajectory(self, oracle_setup):
+    @pytest.mark.parametrize("matcher", ["simple", "dense"])
+    def test_recovers_ground_truth_trajectory(self, oracle_setup, matcher):
         model, poses_gt, d, n = oracle_setup
         _slam_config()
+        if matcher == "dense":
+            set_config(
+                Config.from_dict(
+                    {
+                        "runtime": {"keyframe_capacity": 16},
+                        "local_opt": {"max_edges": 32},
+                        "matching": {
+                            "method": "dense",
+                            "dense_radius": 2,
+                            "dist_thresh": 0.5,
+                        },
+                        "tracking": {"match_frac_thresh": 0.95},
+                    }
+                )
+            )
         slam = SLAM(model=model, resolution=16)
 
         # Bypass image preprocessing (oracle frames carry their id in a

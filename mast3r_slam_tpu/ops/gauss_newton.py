@@ -179,7 +179,7 @@ def _edge_system(
 
 @partial(
     jax.jit,
-    static_argnames=("mode", "img_size", "params"),
+    static_argnames=("mode", "img_size", "params", "edge_chunk"),
 )
 def gauss_newton_graph(
     Twc: jax.Array,  # [K, 8]
@@ -196,6 +196,7 @@ def gauss_newton_graph(
     K_intr: jax.Array | None = None,
     img_size: tuple[int, int] | None = None,
     params: GNParams = GNParams(),
+    edge_chunk: int = 8,
 ) -> tuple[jax.Array, jax.Array]:
     """Global Sim3 pose-graph GN over dense correspondences.
 
@@ -223,10 +224,30 @@ def gauss_newton_graph(
 
     freeF = free_mask.astype(Twc.dtype)  # [K]
 
+    E = ii.shape[0]
+    chunk = min(edge_chunk, E)
+    while E % chunk:  # edge arenas are power-of-two bucketed; stay safe
+        chunk -= 1
+
     def step(Twc_cur):
-        S, b, _cost = _edge_system(
-            Twc_cur, Xs, ii, jj, idx_ii2jj, weight_mask, Q, mode, K_intr, img_size, p
+        # Scan over edge chunks: bounds the [chunk, N, 3, 7] Jacobian
+        # working set (dense pointmaps at full resolution would otherwise
+        # materialize gigabyte-scale intermediates for wide graphs).
+        def chunk_system(_, args):
+            ii_c, jj_c, idx_c, wm_c, Q_c = args
+            S_c, b_c, cost_c = _edge_system(
+                Twc_cur, Xs, ii_c, jj_c, idx_c, wm_c, Q_c, mode, K_intr, img_size, p
+            )
+            return None, (S_c, b_c, cost_c)
+
+        resh = lambda a: a.reshape(E // chunk, chunk, *a.shape[1:])
+        _, (S, b, costs) = jax.lax.scan(
+            chunk_system,
+            None,
+            (resh(ii), resh(jj), resh(idx_ii2jj), resh(weight_mask), resh(Q)),
         )
+        S = S.reshape(E, 7, 7)
+        b = b.reshape(E, 7)
 
         # Assemble block Hessian [K, K, 7, 7] and gradient [K, 7].
         H = jnp.zeros((K, K, 7, 7), Twc.dtype)

@@ -191,15 +191,26 @@ def main() -> int:
             )
             return float(idx), (img * 255).astype(np.uint8)
 
+    # Steady state only: the first frames absorb the remaining compiles
+    # (warm-start-idx trace variant etc.), measured via per-frame callback.
     slam = SLAM(model=model, resolution=resolution)
+    frame_times = []
+    last = [None]
+
+    def cb(fr, kfs):
+        now = time.perf_counter()
+        if last[0] is not None:
+            frame_times.append(now - last[0])
+        last[0] = now
+
     quiet = io.StringIO()
-    t0 = time.perf_counter()
     with contextlib.redirect_stdout(quiet):
-        slam.run(Synthetic(), max_frames=12)
-    orchestrated = 12 / (time.perf_counter() - t0)
+        slam.run(Synthetic(), max_frames=16, callback=cb)
+    steady = frame_times[-8:]
+    orchestrated = 1.0 / (sum(steady) / len(steady))
     print(
-        f"[bench] orchestrated SLAM (incl. one relay round trip per frame): "
-        f"{orchestrated:.2f} FPS",
+        f"[bench] orchestrated SLAM steady-state (incl. one relay round trip "
+        f"per frame): {orchestrated:.2f} FPS",
         file=sys.stderr,
     )
 

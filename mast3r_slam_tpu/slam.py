@@ -108,7 +108,8 @@ class SLAM:
                 self._process_reloc(frame)
 
             self.timestamps.append(timestamp)
-            self.poses.append(np.asarray(frame.T_WC))
+            # keep poses device-side; exporting converts once at the end
+            self.poses.append(frame.T_WC)
 
             if callback:
                 callback(frame, self.keyframes)

@@ -313,11 +313,14 @@ class FrameTracker:
             self._fused = _make_fused_track(
                 self.model, self.cfg, self.cfg.filtering_mode
             )
-        n = self.keyframes.h * self.keyframes.w
-        fX = frame.X_canon if frame.X_canon is not None else jnp.zeros((n, 3))
-        fC = frame.C if frame.C is not None else jnp.zeros((n, 1))
-        fN = jnp.asarray(float(frame.N), jnp.float32)
-        kN = jnp.asarray(float(keyframe.N), jnp.float32)
+            n = self.keyframes.h * self.keyframes.w
+            self._zeros3 = jnp.zeros((n, 3))
+            self._zeros1 = jnp.zeros((n, 1))
+        fX = frame.X_canon if frame.X_canon is not None else self._zeros3
+        fC = frame.C if frame.C is not None else self._zeros1
+        # weak python scalars avoid a device-array dispatch per frame
+        fN = float(frame.N)
+        kN = float(keyframe.N)
 
         out = self._fused(
             self.model.params,

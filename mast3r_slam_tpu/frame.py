@@ -210,6 +210,9 @@ class Keyframes:
         self.C = jnp.zeros((cap, n, 1), dtype)
         self.T_WC = jnp.tile(lie.sim3_identity()[None], (cap, 1))
         self.N = jnp.zeros((cap, 1, 1), dtype)  # fusion counts
+        # host mirror of fusion counts: reading a scalar from the arena
+        # costs a full link round trip per access
+        self._n_host: list[float] = [0.0] * cap
         self._feat: Optional[jax.Array] = None  # lazily sized [cap, S, D]
         self._pos: Optional[jax.Array] = None
         self.frame_ids: list[int] = []
@@ -237,6 +240,7 @@ class Keyframes:
         self.C = _arena_write(self.C, idx, frame.C.astype(self.dtype))
         self.T_WC = _arena_write(self.T_WC, idx, frame.T_WC)
         self.N = _arena_write(self.N, idx, jnp.full((1, 1), float(frame.N), self.dtype))
+        self._n_host[idx] = float(frame.N)
         if frame.feat is not None:
             self._ensure_feat(frame.feat)
             self._feat = _arena_write(self._feat, idx, frame.feat)
@@ -270,7 +274,7 @@ class Keyframes:
             C=self.C[idx],
             feat=None if self._feat is None else self._feat[idx],
             pos=self._pos,
-            N=int(self.N[idx, 0, 0]),
+            N=int(self._n_host[idx]),
             K=self.K,
         )
         f.N_updates = f.N
@@ -282,6 +286,7 @@ class Keyframes:
         self.X = _arena_write(self.X, idx, X.astype(self.dtype))
         self.C = _arena_write(self.C, idx, C.astype(self.dtype))
         self.N = _arena_write(self.N, idx, jnp.full((1, 1), n_count, self.dtype))
+        self._n_host[idx] = float(n_count)
 
     def write_pose(self, idx: int, T: jax.Array):
         self.T_WC = _arena_write(self.T_WC, idx, T)

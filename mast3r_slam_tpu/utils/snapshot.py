@@ -85,6 +85,7 @@ def load_snapshot(slam, path: str | Path) -> None:
     kfs.C = jnp.asarray(data["kf_C"])
     kfs.T_WC = jnp.asarray(data["kf_T"])
     kfs.N = jnp.asarray(data["kf_N"])
+    kfs._n_host = [float(x) for x in np.asarray(data["kf_N"])[:, 0, 0]]
     kfs.frame_ids = list(header["kf_frame_ids"])
     if data["kf_imgs"].ndim > 1:
         kfs.imgs = [jnp.asarray(x) for x in data["kf_imgs"]]

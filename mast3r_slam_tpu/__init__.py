@@ -29,5 +29,23 @@ __all__ = [
     "load_config",
     "set_config",
     "default_config",
+    "SLAM",
+    "load_mast3r",
     "__version__",
 ]
+
+_LAZY = {
+    "SLAM": ("mast3r_slam_tpu.slam", "SLAM"),
+    "load_mast3r": ("mast3r_slam_tpu.models.mast3r", "load_mast3r"),
+    "OfflineReconstructor": ("mast3r_slam_tpu.offline", "OfflineReconstructor"),
+}
+
+
+def __getattr__(name):
+    """Lazy top-level exports (importing the package stays light)."""
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -7,5 +7,20 @@ from mast3r_slam_tpu.models.mast3r import (
     MASt3RNet,
     load_mast3r,
 )
+from mast3r_slam_tpu.models.retrieval import RetrievalModel
 
-__all__ = ["MASt3RConfig", "MASt3RModel", "MASt3RNet", "load_mast3r"]
+# Import-surface parity with the reference's re-exports
+# (mast3r_utils.py:30-38): the model families are configs of one
+# implementation here.
+Mast3rFull = MASt3RModel  # ViT-L family via MASt3RConfig.mast3r_full
+DuneMast3r = MASt3RModel  # compact family via MASt3RConfig.dunemast3r
+
+__all__ = [
+    "MASt3RConfig",
+    "MASt3RModel",
+    "MASt3RNet",
+    "load_mast3r",
+    "RetrievalModel",
+    "Mast3rFull",
+    "DuneMast3r",
+]

@@ -130,6 +130,29 @@ def bench_refine(rng, quick=False):
     }
 
 
+def bench_dense_match(rng, quick=False):
+    """Gather-free dense matcher at full tracking resolution."""
+    import jax.numpy as jnp
+
+    from mast3r_slam_tpu.ops.dense_match import match_dense_window
+    from tests.fixtures import camera_K, world_surface
+
+    h, w, d = (96, 128, 24) if quick else (384, 512, 24)
+    K = camera_K(h, w)
+    X = jnp.asarray(np.asarray(world_surface(rng, h, w, K)).reshape(1, h, w, 3))
+    D = jnp.asarray(rng.normal(size=(1, h, w, d)).astype(np.float32))
+    t_dev, (idx, valid) = _time_device(
+        lambda *a: match_dense_window(*a, radius=6, dilations=(1,)), X, X, D, D
+    )
+    ident = float((np.asarray(idx)[0] == np.arange(h * w)).mean())
+    return {
+        "kernel": "dense_match",
+        "config": f"{h}x{w} ({h*w} pts), +-6 px window, {d}-d desc",
+        "device_ms": t_dev * 1e3,
+        "identity_recovery": ident,
+    }
+
+
 def bench_gn(rng, mode, quick=False):
     """Reference size: 20 KF, 1000 pts, 30 edges (BASELINE.md rows 5-7)."""
     import jax.numpy as jnp
@@ -223,6 +246,7 @@ def main(argv=None) -> int:
     rng = np.random.default_rng(42)
     results = [
         bench_iter_proj(rng, args.quick),
+        bench_dense_match(rng, args.quick),
         bench_refine(rng, args.quick),
         bench_gn(rng, "rays", args.quick),
         bench_gn(rng, "points", args.quick),
@@ -255,6 +279,8 @@ def main(argv=None) -> int:
             if "corr" in r
             else f"exact {r['exact_match_frac']:.3f}"
             if "exact_match_frac" in r
+            else f"ident {r['identity_recovery']:.3f}"
+            if "identity_recovery" in r
             else f"maxdiff {r.get('max_diff', float('nan')):.2e}"
             if "max_diff" in r
             else f"err x{r.get('err_ratio', float('nan')):.2f} in 3 iters"

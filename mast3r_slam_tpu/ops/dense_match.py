@@ -83,21 +83,29 @@ def match_dense_window(
         idx_1_to_2 [B, H*W] int32, valid [B, H*W, 1] bool
     """
     b, h, w, _ = X11.shape
-    rays1 = normalize_rays(X11)
-    rays2 = normalize_rays(X21)
+    # bf16 streams: the tap loop is HBM-bandwidth-bound and ray/descriptor
+    # comparisons tolerate half precision (argmin selection only); the
+    # out-of-bounds sentinel is a large finite value (bf16 has no problem
+    # representing it, and inf arithmetic is avoided entirely).
+    BIG = 1e30
+    rays1 = normalize_rays(X11).astype(jnp.bfloat16)
+    rays2 = normalize_rays(X21).astype(jnp.bfloat16)
+    D11h = D11.astype(jnp.bfloat16)
+    D21h = D21.astype(jnp.bfloat16)
 
-    best_cost = jnp.full((b, h, w), jnp.inf, jnp.float32)
+    best_cost = jnp.full((b, h, w), BIG, jnp.float32)
     best_du = jnp.zeros((b, h, w), jnp.int32)
     best_dv = jnp.zeros((b, h, w), jnp.int32)
 
     for du, dv in window_taps(radius, dilations):
-        r1 = _shifted(rays1, du, dv, jnp.inf)
-        cost = jnp.sum((r1 - rays2) ** 2, axis=-1).astype(jnp.float32)
+        r1 = _shifted(rays1, du, dv, BIG)
+        diff = (r1 - rays2).astype(jnp.float32)
+        cost = jnp.sum(diff * diff, axis=-1)
         if desc_weight > 0:
-            d1 = _shifted(D11, du, dv, 0.0)
-            sim = jnp.sum(d1 * D21, axis=-1).astype(jnp.float32)
+            d1 = _shifted(D11h, du, dv, 0.0)
+            sim = jnp.sum((d1 * D21h).astype(jnp.float32), axis=-1)
             cost = cost - desc_weight * sim
-        cost = jnp.where(jnp.isfinite(cost), cost, jnp.inf)
+        cost = jnp.where(cost < BIG, cost, BIG)
         take = cost < best_cost
         best_cost = jnp.where(take, cost, best_cost)
         best_du = jnp.where(take, du, best_du)
@@ -113,5 +121,5 @@ def match_dense_window(
     X11_flat = X11.reshape(b, h * w, 3)
     Xm = jnp.take_along_axis(X11_flat, idx[..., None], axis=1)
     dist = jnp.linalg.norm(Xm - X21.reshape(b, h * w, 3), axis=-1)
-    valid = (dist < dist_thresh) & jnp.isfinite(best_cost.reshape(b, h * w))
+    valid = (dist < dist_thresh) & (best_cost.reshape(b, h * w) < BIG)
     return idx, valid[..., None]

@@ -154,6 +154,10 @@ class RuntimeConfig:
     keyframe_capacity: int = 512  # preallocated HBM keyframe arena slots
     prefetch_depth: int = 2  # host frame-decode lookahead
     donate_buffers: bool = True
+    # periodic SLAM-state snapshots (0 = off); long runs resume via
+    # SLAM.load_state (SURVEY §5.4 — the reference had no checkpointing)
+    snapshot_every: int = 0
+    snapshot_path: str = "slam_state.npz"
 
 
 @dataclass

@@ -101,6 +101,16 @@ class TUMDataset(Dataset):
     def __getitem__(self, idx: int):
         return self.stamps[idx], _read_rgb(self.files[idx])
 
+    def groundtruth(self):
+        """(timestamps, poses [N, 8] Sim3) from the sequence's
+        groundtruth.txt, for ATE evaluation (utils/evaluate.py)."""
+        from mast3r_slam_tpu.utils.export import load_trajectory_tum
+
+        gt = self.path / "groundtruth.txt"
+        if not gt.exists():
+            raise FileNotFoundError(gt)
+        return load_trajectory_tum(gt)
+
 
 class EuRoCDataset(Dataset):
     """EuRoC MAV: mav0/cam0/data/*.png, ns timestamps in filenames

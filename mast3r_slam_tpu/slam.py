@@ -122,6 +122,10 @@ class SLAM:
                     f"{len(self.keyframes)} keyframes, {(i + 1) / dt:.2f} FPS"
                 )
 
+            snap_every = self.config.runtime.snapshot_every
+            if snap_every and (i + 1) % snap_every == 0:
+                self.save_state(self.config.runtime.snapshot_path)
+
         print(f"Done! {len(self.keyframes)} keyframes, {len(self.poses)} poses")
         return self._get_results()
 

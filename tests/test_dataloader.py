@@ -90,3 +90,15 @@ class TestPrefetch:
         assert processed["img"].shape[0] == 1
         h, w = processed["true_shape"][0]
         assert w == 64 and h % 16 == 0
+
+
+class TestTUMGroundtruth:
+    def test_groundtruth_loading(self, tum_ds):
+        gt_lines = ["# gt"] + [
+            f"{1000.5 + i:.4f} {i*0.1:.3f} 0 0 0 0 0 1" for i in range(4)
+        ]
+        (tum_ds / "groundtruth.txt").write_text("\n".join(gt_lines) + "\n")
+        ds = TUMDataset(tum_ds)
+        ts, poses = ds.groundtruth()
+        assert len(ts) == 4 and poses.shape == (4, 8)
+        assert poses[1, 0] == pytest.approx(0.1)

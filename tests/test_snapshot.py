@@ -92,3 +92,28 @@ class TestCalibMode:
         assert results["poses"].shape == (3, 4, 4)
         assert np.isfinite(results["poses"]).all()
         assert slam.keyframes.K is not None
+
+
+class TestAutoSnapshot:
+    def test_periodic_snapshot_written(self, tmp_path, tiny_model):
+        snap = tmp_path / "auto.npz"
+        set_config(
+            Config.from_dict(
+                {
+                    "runtime": {
+                        "keyframe_capacity": 16,
+                        "snapshot_every": 2,
+                        "snapshot_path": str(snap),
+                    },
+                    "local_opt": {"max_edges": 16},
+                    "matching": {"use_simple": True},
+                }
+            )
+        )
+        ds = _static_dataset(tmp_path)
+        slam = SLAM(model=tiny_model, resolution=64)
+        slam.run(ds, max_frames=4)
+        assert snap.exists()
+        slam2 = SLAM(model=tiny_model, resolution=64)
+        slam2.load_state(snap)
+        assert len(slam2.poses) in (2, 4)  # last periodic write

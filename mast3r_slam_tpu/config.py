@@ -144,6 +144,9 @@ class ModelConfig:
     resolution: int = 512
     precision: str = "bf16"  # fp32 | bf16
     checkpoint: str | None = None  # local safetensors path (no egress here)
+    # None = family default ("dpt"); "linear" trades pts3d sharpness for a
+    # lighter decode (the DPT tail is most of the non-GN step time)
+    head_type: str | None = None
 
 
 @dataclass

@@ -267,6 +267,7 @@ class MASt3RModel:
         precision: str = "bf16",
         checkpoint: str | None = None,
         seed: int = 0,
+        head_type: str | None = None,
         _test_cfg: MASt3RConfig | None = None,
     ) -> "MASt3RModel":
         """Build a model; load a local checkpoint if given, else random init.
@@ -282,6 +283,8 @@ class MASt3RModel:
             cfg = MASt3RConfig.dunemast3r(variant, precision)
         else:
             raise ValueError(f"unknown model_type {model_type!r}")
+        if head_type is not None:
+            cfg = dataclasses.replace(cfg, head_type=head_type)
 
         h, w = _canonical_hw(resolution, cfg.patch_size)
         net = MASt3RNet(cfg)
@@ -334,6 +337,7 @@ def load_mast3r(
     resolution: int = 512,
     precision: str = "bf16",
     checkpoint: str | None = None,
+    head_type: str | None = None,
 ) -> MASt3RModel:
     """Model factory (parity: reference mast3r_utils.py:47-80)."""
     return MASt3RModel.create(
@@ -342,4 +346,5 @@ def load_mast3r(
         resolution=resolution,
         precision=precision,
         checkpoint=checkpoint,
+        head_type=head_type,
     )

@@ -65,6 +65,7 @@ class SLAM:
                 resolution=resolution,
                 precision=precision,
                 checkpoint=self.config.model.checkpoint,
+                head_type=self.config.model.head_type,
             )
         self.resolution = resolution
 

@@ -1,0 +1,214 @@
+"""Serving mode: batched multi-sequence tracking.
+
+Tracks B independent video streams in lockstep on one chip: the fused
+per-frame program (decode-from-cache + matching + Sim3 GN + fusion +
+statistics) is vmapped over the sequence axis, so B tracking steps cost one
+device program launch and amortize the MXU far better than B sequential
+steps — the offline/throughput counterpart of the real-time loop
+(production deployment: map-reduce style clip processing, multi-camera
+rigs, dataset annotation).
+
+Keyframe state lives as batched arrays [B, ...]; per-sequence keyframe
+promotion is the caller's host decision (flags returned per sequence), with
+`update_keyframes` accepting any subset.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mast3r_slam_tpu.config import get_config
+from mast3r_slam_tpu.frame import fuse_pointmap_masked
+from mast3r_slam_tpu.lie import core as lie
+from mast3r_slam_tpu.matching import match
+from mast3r_slam_tpu.ops.gauss_newton import GNParams, gauss_newton_pose_rays
+from mast3r_slam_tpu.geometry import point_to_ray_dist
+from mast3r_slam_tpu.tracker import _track_core_rays
+
+
+@dataclasses.dataclass
+class BatchState:
+    """Batched per-sequence tracking state (all leading dim B)."""
+
+    kf_feat: jax.Array  # [B, S, D]
+    kf_pos: jax.Array  # [B, S, 2]
+    kf_X: jax.Array  # [B, N, 3]
+    kf_C: jax.Array  # [B, N, 1]
+    kf_N: jax.Array  # [B]
+    kf_T: jax.Array  # [B, 8]
+    fr_X: jax.Array  # [B, N, 3] current-frame canonical state
+    fr_C: jax.Array  # [B, N, 1]
+    fr_N: jax.Array  # [B]
+    T_WC: jax.Array  # [B, 8] current poses
+
+
+def _make_batch_program(model, cfg, filtering_mode: str):
+    from mast3r_slam_tpu.models.mast3r import MASt3RNet
+
+    cfg_key = (
+        cfg.C_conf,
+        cfg.Q_conf,
+        cfg.min_match_frac,
+        cfg.max_iters,
+        cfg.huber,
+        cfg.sigma_ray,
+        cfg.sigma_dist,
+        cfg.rel_error,
+        cfg.delta_norm,
+        cfg.match_frac_thresh,
+    )
+    out_hw = model._out_hw
+
+    def one(params, feat_f, pos_f, kf_feat, kf_pos, fX, fC, fN, kX, kC, kN, T, Tk):
+        out_f, out_k = model.net.apply(
+            params,
+            feat_f[None],
+            pos_f[None],
+            kf_feat[None],
+            kf_pos[None],
+            out_hw,
+            method=MASt3RNet.decode,
+        )
+        h, w = out_f["pts3d"].shape[1:3]
+        n = h * w
+        idx, valid = match(
+            out_f["pts3d"], out_k["pts3d"], out_f["desc"], out_k["desc"], None
+        )
+        Xff = out_f["pts3d"].reshape(n, 3)
+        Cff = out_f["conf"].reshape(n, 1)
+        Qff = out_f["desc_conf"].reshape(n, 1)
+        Xkf = out_k["pts3d"].reshape(n, 3)
+        Ckf = out_k["conf"].reshape(n, 1)
+        Qkf = out_k["desc_conf"].reshape(n, 1)
+        fX2, fC2, fN2 = fuse_pointmap_masked(fX, fC, fN, Xff, Cff, filtering_mode)
+        core = _track_core_rays(
+            idx[0],
+            valid[0],
+            Qff,
+            Qkf,
+            fX2,
+            fC2 / jnp.maximum(fN2, 1.0),
+            kX,
+            kC / jnp.maximum(kN, 1.0),
+            Xkf,
+            T,
+            Tk,
+            cfg_key,
+        )
+        kX2, kC2, kN2 = fuse_pointmap_masked(kX, kC, kN, core["Xkk"], Ckf, filtering_mode)
+        stats = jnp.concatenate([core["stats"], fN2[None], kN2[None]])
+        return dict(
+            T_WC=core["T_WCf"],
+            fr_X=fX2,
+            fr_C=fC2,
+            kf_X=kX2,
+            kf_C=kC2,
+            stats=stats,
+        )
+
+    batched = jax.vmap(
+        one, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    )
+    return jax.jit(batched)
+
+
+class BatchTracker:
+    """Lockstep tracker over B sequences (rays objective, elementwise
+    fusion modes)."""
+
+    def __init__(self, model):
+        self.model = model
+        self.cfg = get_config().tracking
+        self._program = _make_batch_program(
+            model, self.cfg, self.cfg.filtering_mode
+        )
+        self.state: Optional[BatchState] = None
+
+    def init_from_keyframes(self, feats, poss, Xs, Cs) -> None:
+        """Initialize B sequences from their first keyframes.
+
+        feats [B,S,D], poss [B,S,2], Xs [B,N,3], Cs [B,N,1] (mono pointmaps).
+        """
+        B = feats.shape[0]
+        ident = jnp.tile(lie.sim3_identity()[None], (B, 1))
+        n = Xs.shape[1]
+        self.state = BatchState(
+            kf_feat=feats,
+            kf_pos=poss,
+            kf_X=Xs,
+            kf_C=Cs,
+            kf_N=jnp.ones((B,)),
+            kf_T=ident,
+            fr_X=jnp.zeros((B, n, 3)),
+            fr_C=jnp.zeros((B, n, 1)),
+            fr_N=jnp.zeros((B,)),
+            T_WC=ident,
+        )
+
+    def step(self, feats: jax.Array, poss: jax.Array) -> dict:
+        """Track one new frame per sequence (pre-encoded features).
+
+        Returns dict with poses [B, 8], per-sequence match fractions and
+        new-keyframe flags (host numpy), and updates the batched state.
+        """
+        s = self.state
+        out = self._program(
+            self.model.params,
+            feats,
+            poss,
+            s.kf_feat,
+            s.kf_pos,
+            s.fr_X,
+            s.fr_C,
+            s.fr_N,
+            s.kf_X,
+            s.kf_C,
+            s.kf_N,
+            s.T_WC,
+            s.kf_T,
+        )
+        stats = np.asarray(out["stats"])  # [B, 5] — one sync for the batch
+        match_frac = stats[:, 0]
+        new_kf = np.minimum(stats[:, 1], stats[:, 2]) < self.cfg.match_frac_thresh
+        tracked = match_frac >= self.cfg.min_match_frac
+
+        keep = jnp.asarray(tracked)
+        self.state = dataclasses.replace(
+            s,
+            fr_X=out["fr_X"],
+            fr_C=out["fr_C"],
+            fr_N=jnp.asarray(stats[:, 3]),
+            kf_X=jnp.where(keep[:, None, None], out["kf_X"], s.kf_X),
+            kf_C=jnp.where(keep[:, None, None], out["kf_C"], s.kf_C),
+            kf_N=jnp.where(keep, jnp.asarray(stats[:, 4]), s.kf_N),
+            T_WC=jnp.where(keep[:, None], out["T_WC"], s.T_WC),
+        )
+        return dict(
+            poses=self.state.T_WC,
+            match_frac=match_frac,
+            new_kf=new_kf,
+            tracked=tracked,
+        )
+
+    def update_keyframes(self, seq_ids, feats, poss, Xs, Cs) -> None:
+        """Promote the given sequences' current frames to keyframes.
+
+        seq_ids: python list of sequence indices; remaining args are the
+        new keyframes' [K, ...] arrays (mono pointmaps + features)."""
+        s = self.state
+        ids = jnp.asarray(seq_ids)
+        self.state = dataclasses.replace(
+            s,
+            kf_feat=s.kf_feat.at[ids].set(feats),
+            kf_pos=s.kf_pos.at[ids].set(poss),
+            kf_X=s.kf_X.at[ids].set(Xs),
+            kf_C=s.kf_C.at[ids].set(Cs),
+            kf_N=s.kf_N.at[ids].set(1.0),
+            kf_T=s.kf_T.at[ids].set(s.T_WC[ids]),
+            fr_N=s.fr_N.at[ids].set(0.0),
+        )

@@ -1,0 +1,93 @@
+"""Batched multi-sequence tracking (serving mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mast3r_slam_tpu.config import Config, set_config
+from mast3r_slam_tpu.serving import BatchTracker
+
+
+@pytest.fixture
+def setup(tiny_model, rng):
+    set_config(
+        Config.from_dict(
+            {
+                # random-weight heads put the two views' pointmaps far apart;
+                # open the occlusion gate (geometry is exercised by the
+                # oracle tests — this one exercises the batching machinery)
+                "matching": {"use_simple": True, "dist_thresh": 1e6},
+                "tracking": {"min_match_frac": 0.01},
+            }
+        )
+    )
+    B = 3
+    h, w = tiny_model._out_hw
+    imgs = [
+        jnp.asarray(rng.uniform(-1, 1, (1, h, w, 3)).astype(np.float32))
+        for _ in range(B)
+    ]
+    feats, poss, Xs, Cs = [], [], [], []
+    for img in imgs:
+        f, p = tiny_model.encode(img)
+        X, C = tiny_model.mono(f[0], p[0])
+        feats.append(f[0])
+        poss.append(p[0])
+        Xs.append(X)
+        Cs.append(C)
+    return (
+        tiny_model,
+        imgs,
+        jnp.stack(feats),
+        jnp.stack(poss),
+        jnp.stack(Xs),
+        jnp.stack(Cs),
+    )
+
+
+class TestBatchTracker:
+    def test_static_scenes_track_identity(self, setup):
+        model, imgs, feats, poss, Xs, Cs = setup
+        bt = BatchTracker(model)
+        bt.init_from_keyframes(feats, poss, Xs, Cs)
+
+        # re-feed the same frames: all sequences must track at identity
+        for _ in range(2):
+            out = bt.step(feats, poss)
+        assert out["tracked"].all()
+        poses = np.asarray(out["poses"])
+        # rotation+translation must stay at identity; scale is unconstrained
+        # between the two random-weight heads (correctly absorbed by Sim3)
+        for b in range(poses.shape[0]):
+            np.testing.assert_allclose(poses[b][:3], 0.0, atol=0.05)
+            np.testing.assert_allclose(
+                poses[b][3:7], [0, 0, 0, 1], atol=0.05
+            )
+
+    def test_per_sequence_isolation(self, setup, rng):
+        """Corrupting one sequence's frame must not perturb the others."""
+        model, imgs, feats, poss, Xs, Cs = setup
+        bt = BatchTracker(model)
+        bt.init_from_keyframes(feats, poss, Xs, Cs)
+        h, w = model._out_hw
+        other = jnp.asarray(rng.uniform(-1, 1, (1, h, w, 3)).astype(np.float32))
+        f_o, p_o = model.encode(other)
+        mixed_feats = feats.at[1].set(f_o[0])
+        out = bt.step(mixed_feats, poss)
+        poses = np.asarray(out["poses"])
+        for b in (0, 2):
+            np.testing.assert_allclose(poses[b][:3], 0.0, atol=0.05)
+            np.testing.assert_allclose(poses[b][3:7], [0, 0, 0, 1], atol=0.05)
+
+    def test_keyframe_promotion(self, setup):
+        model, imgs, feats, poss, Xs, Cs = setup
+        bt = BatchTracker(model)
+        bt.init_from_keyframes(feats, poss, Xs, Cs)
+        bt.step(feats, poss)
+        # promote sequences 0 and 2
+        sel = np.asarray([0, 2])
+        bt.update_keyframes(sel, feats[sel], poss[sel], Xs[sel], Cs[sel])
+        assert float(bt.state.kf_N[0]) == 1.0
+        assert float(bt.state.fr_N[0]) == 0.0
+        out = bt.step(feats, poss)
+        assert out["tracked"].all()

@@ -19,7 +19,6 @@ TPU-native design
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from mast3r_slam_tpu.config import get_config

@@ -131,8 +131,6 @@ def _make_fused_track(model, cfg, filtering_mode: str):
     jit. Over a high-latency host<->device link, per-frame cost is then one
     dispatch and one scalar-bundle sync — the eager glue the reference did
     between kernels (dozens of small ops) never exists on the wire."""
-    import functools
-
     from mast3r_slam_tpu.frame import fuse_pointmap_masked
     from mast3r_slam_tpu.matching import match
     from mast3r_slam_tpu.models.mast3r import MASt3RNet

@@ -218,6 +218,8 @@ class Keyframes:
         self.frame_ids: list[int] = []
         self.K: Optional[jax.Array] = None
         self.imgs: list[jax.Array] = []  # host-append only (export/colors)
+        # bumped on every mutation; consumers may cache slices against it
+        self.version: int = 0
 
     def __len__(self) -> int:
         return len(self.frame_ids)
@@ -245,6 +247,7 @@ class Keyframes:
             self._ensure_feat(frame.feat)
             self._feat = _arena_write(self._feat, idx, frame.feat)
             self._pos = frame.pos
+        self.version += 1
         return idx
 
     def __setitem__(self, idx: int, frame: Frame) -> None:
@@ -257,6 +260,7 @@ class Keyframes:
         if self.frame_ids:
             self.frame_ids.pop()
             self.imgs.pop()
+            self.version += 1
 
     def last_index(self) -> Optional[int]:
         return len(self.frame_ids) - 1 if self.frame_ids else None
@@ -287,13 +291,16 @@ class Keyframes:
         self.C = _arena_write(self.C, idx, C.astype(self.dtype))
         self.N = _arena_write(self.N, idx, jnp.full((1, 1), n_count, self.dtype))
         self._n_host[idx] = float(n_count)
+        self.version += 1
 
     def write_pose(self, idx: int, T: jax.Array):
         self.T_WC = _arena_write(self.T_WC, idx, T)
+        self.version += 1
 
     def update_T_WCs(self, T_WCs: jax.Array, indices) -> None:
         """Batch pose write-back (backend solve)."""
         self.T_WC = self.T_WC.at[jnp.asarray(indices)].set(T_WCs)
+        self.version += 1
 
     def get_poses(self) -> jax.Array:
         return self.T_WC[: len(self)]

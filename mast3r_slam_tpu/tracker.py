@@ -238,6 +238,7 @@ class FrameTracker:
         self.use_calib = cfg.use_calib
         self.idx_f2k: Optional[jax.Array] = None
         self._fused = None
+        self._kf_cache: Optional[dict] = None
         self._use_fused = (
             model is not None
             and hasattr(model, "net")
@@ -253,10 +254,12 @@ class FrameTracker:
         kf_idx = self.keyframes.last_index()
         if kf_idx is None:
             return False, [], True
-        keyframe = self.keyframes[kf_idx]
 
         if self._use_fused:
-            return self._track_fused(frame, keyframe, kf_idx)
+            # the fused path reads keyframe state through its version cache
+            # (no per-frame arena slicing)
+            return self._track_fused(frame, kf_idx)
+        keyframe = self.keyframes[kf_idx]
 
         (idx_f2k, valid_match_k, Xff, Cff, Qff, Xkf, Ckf, Qkf) = mast3r_match_fn(
             self.model, frame, keyframe, idx_i2j_init=self.idx_f2k
@@ -302,7 +305,27 @@ class FrameTracker:
         )
         return self._finish(frame, kf_idx, out, Ckf[0], Qkf, Qff)
 
-    def _track_fused(self, frame: Frame, keyframe: Frame, kf_idx: int):
+    def _kf_state(self, kf_idx: int):
+        """Device arrays of the tracked keyframe, cached against the arena
+        version (rebuilding from arena slices costs several link dispatches
+        per frame; the cache is refreshed from the fused outputs below)."""
+        kfs = self.keyframes
+        cache = self._kf_cache
+        if cache is not None and cache["key"] == (kf_idx, kfs.version):
+            return cache
+        cache = dict(
+            key=(kf_idx, kfs.version),
+            feat=kfs._feat[kf_idx],
+            pos=kfs._pos,
+            X=kfs.X[kf_idx],
+            C=kfs.C[kf_idx],
+            N=float(kfs._n_host[kf_idx]),
+            T=kfs.T_WC[kf_idx],
+        )
+        self._kf_cache = cache
+        return cache
+
+    def _track_fused(self, frame: Frame, kf_idx: int):
         """One-dispatch tracking step (see _make_fused_track)."""
         from mast3r_slam_tpu.inference import _ensure_encoded
 
@@ -314,27 +337,27 @@ class FrameTracker:
             n = self.keyframes.h * self.keyframes.w
             self._zeros3 = jnp.zeros((n, 3))
             self._zeros1 = jnp.zeros((n, 1))
+        kf = self._kf_state(kf_idx)
         fX = frame.X_canon if frame.X_canon is not None else self._zeros3
         fC = frame.C if frame.C is not None else self._zeros1
         # weak python scalars avoid a device-array dispatch per frame
         fN = float(frame.N)
-        kN = float(keyframe.N)
 
         out = self._fused(
             self.model.params,
             frame.feat,
             frame.pos,
-            keyframe.feat,
-            keyframe.pos,
+            kf["feat"],
+            kf["pos"],
             self.idx_f2k,
             fX,
             fC,
             fN,
-            keyframe.X_canon,
-            keyframe.C,
-            kN,
+            kf["X"],
+            kf["C"],
+            kf["N"],
             frame.T_WC,
-            keyframe.T_WC,
+            kf["T"],
         )
         self.idx_f2k = out["idx"]
 
@@ -357,6 +380,17 @@ class FrameTracker:
 
         frame.T_WC = out["T_WCf"]
         self.keyframes.write_pointmap(kf_idx, out["kf_X"], out["kf_C"], kf_N)
+        # refresh the keyframe cache from the fused outputs (the arena write
+        # above bumped the version)
+        self._kf_cache = dict(
+            key=(kf_idx, self.keyframes.version),
+            feat=kf["feat"],
+            pos=kf["pos"],
+            X=out["kf_X"],
+            C=out["kf_C"],
+            N=kf_N,
+            T=kf["T"],
+        )
 
         new_kf = min(match_frac_k, unique_frac_f) < c.match_frac_thresh
         if new_kf:

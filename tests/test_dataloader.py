@@ -102,3 +102,44 @@ class TestTUMGroundtruth:
         ts, poses = ds.groundtruth()
         assert len(ts) == 4 and poses.shape == (4, 8)
         assert poses[1, 0] == pytest.approx(0.1)
+
+
+class TestVideo:
+    def test_video_dataset(self, tmp_path, rng):
+        cv2 = pytest.importorskip("cv2")
+        path = tmp_path / "clip.mp4"
+        wr = cv2.VideoWriter(
+            str(path), cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (64, 48)
+        )
+        frames = []
+        for i in range(6):
+            f = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+            frames.append(f)
+            wr.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        wr.release()
+
+        from mast3r_slam_tpu.dataloader import VideoDataset, load_dataset
+
+        ds = load_dataset(path)
+        assert isinstance(ds, VideoDataset)
+        assert len(ds) == 6
+        ts, img = ds[2]
+        assert img.shape == (48, 64, 3)
+        assert ts == pytest.approx(0.2)
+
+    def test_video_subsample(self, tmp_path, rng):
+        cv2 = pytest.importorskip("cv2")
+        from mast3r_slam_tpu.config import Config, set_config
+
+        path = tmp_path / "clip.mp4"
+        wr = cv2.VideoWriter(
+            str(path), cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (64, 48)
+        )
+        for i in range(6):
+            wr.write(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8))
+        wr.release()
+        set_config(Config.from_dict({"dataset": {"subsample": 2}}))
+        from mast3r_slam_tpu.dataloader import VideoDataset
+
+        ds = VideoDataset(path)
+        assert len(ds) == 3

@@ -28,8 +28,16 @@ def postprocess_pts3d(raw: jax.Array) -> jax.Array:
 
 
 def postprocess_conf(raw: jax.Array) -> jax.Array:
-    """conf = 1 + exp(x), clipped for stability."""
-    return 1.0 + jnp.exp(jnp.clip(raw, -10.0, 10.0))
+    """conf = 1 + exp(x) (upstream conf_mode ('exp', 1, inf)); the clip only
+    guards exp overflow (exp(50) ~ 5e21 is representable in fp32/bf16) and is
+    a no-op for any realistic checkpoint logit."""
+    return 1.0 + jnp.exp(jnp.clip(raw, -50.0, 50.0))
+
+
+def postprocess_desc_conf(raw: jax.Array) -> jax.Array:
+    """desc_conf = exp(x): the released MASt3R checkpoints use
+    desc_conf_mode ('exp', 0, inf), i.e. vmin 0 — NOT the 1+exp of conf."""
+    return jnp.exp(jnp.clip(raw, -50.0, 50.0))
 
 
 def tokens_to_grid(tokens: jax.Array, hp: int, wp: int) -> jax.Array:
@@ -39,12 +47,47 @@ def tokens_to_grid(tokens: jax.Array, hp: int, wp: int) -> jax.Array:
 
 
 def pixel_shuffle(x: jax.Array, p: int) -> jax.Array:
-    """[B, hp, wp, p*p*C] -> [B, hp*p, wp*p, C] (channels-last shuffle)."""
+    """[B, hp, wp, C*p*p] -> [B, hp*p, wp*p, C], torch F.pixel_shuffle order.
+
+    Channel index (c, ry, rx) = c*p*p + ry*p + rx — channel-major, matching
+    torch so upstream head weights (which produce these channels) map 1:1.
+    """
     b, hp, wp, c = x.shape
     cc = c // (p * p)
-    x = x.reshape(b, hp, wp, p, p, cc)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(b, hp, wp, cc, p, p)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # b, hp, py, wp, px, cc
     return x.reshape(b, hp * p, wp * p, cc)
+
+
+def resize_bilinear_ac(x: jax.Array, oh: int, ow: int) -> jax.Array:
+    """Bilinear resize with align_corners=True (torch F.interpolate semantics).
+
+    Upstream DPT fusion blocks and the head upsample with align_corners=True;
+    jax.image.resize is half-pixel (align_corners=False), so we build the
+    two 1-D interpolation matrices and contract them — exact, and the
+    einsum form rides the MXU instead of doing gathers.
+    """
+    b, h, w, c = x.shape
+    if (oh, ow) == (h, w):
+        return x
+
+    def interp_matrix(n_out: int, n_in: int) -> jax.Array:
+        if n_in == 1:
+            return jnp.ones((n_out, 1), x.dtype)
+        pos = jnp.arange(n_out, dtype=jnp.float32) * ((n_in - 1) / max(n_out - 1, 1))
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 2)
+        frac = pos - lo
+        m = jnp.zeros((n_out, n_in), jnp.float32)
+        rows = jnp.arange(n_out)
+        m = m.at[rows, lo].set(1.0 - frac)
+        m = m.at[rows, lo + 1].add(frac)
+        return m.astype(x.dtype)
+
+    my = interp_matrix(oh, h)
+    mx = interp_matrix(ow, w)
+    x = jnp.einsum("oh,bhwc->bowc", my, x)
+    x = jnp.einsum("pw,bowc->bopc", mx, x)
+    return x
 
 
 class ResidualConvUnit(nn.Module):
@@ -68,16 +111,14 @@ class FeatureFusionBlock(nn.Module):
     def __call__(self, prev, skip=None):
         x = prev
         if skip is not None:
-            # Align to the skip's grid (odd token grids halve inexactly).
+            # Align to the skip's grid (odd token grids halve inexactly);
+            # upstream crops path_4 to layer_3's grid, so crop — not resize.
             if x.shape[1:3] != skip.shape[1:3]:
-                b, _, _, c = x.shape
-                x = jax.image.resize(
-                    x, (b, skip.shape[1], skip.shape[2], c), method="bilinear"
-                )
+                x = x[:, : skip.shape[1], : skip.shape[2], :]
             x = x + ResidualConvUnit(self.features, self.dtype, name="rcu_skip")(skip)
         x = ResidualConvUnit(self.features, self.dtype, name="rcu_out")(x)
-        b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="bilinear")
+        h, w = x.shape[1:3]
+        x = resize_bilinear_ac(x, h * 2, w * 2)
         x = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="out_conv")(x)
         return x
 
@@ -107,17 +148,24 @@ class DPTHead(nn.Module):
         for i, (tok, ldim, op) in enumerate(zip(hooks, self.layer_dims, scale_ops)):
             x = nn.Dense(ldim, dtype=self.dtype, name=f"act_postprocess_{i}")(tok)
             x = tokens_to_grid(x, hp, wp)
+            # transpose_kernel=True + VALID matches torch ConvTranspose2d
+            # (padding=0) exactly, so upstream weights map by pure transpose.
             if op == "up4":
                 x = nn.ConvTranspose(
-                    ldim, (4, 4), strides=(4, 4), dtype=self.dtype, name=f"resample_{i}"
+                    ldim, (4, 4), strides=(4, 4), padding="VALID",
+                    transpose_kernel=True, dtype=self.dtype, name=f"resample_{i}"
                 )(x)
             elif op == "up2":
                 x = nn.ConvTranspose(
-                    ldim, (2, 2), strides=(2, 2), dtype=self.dtype, name=f"resample_{i}"
+                    ldim, (2, 2), strides=(2, 2), padding="VALID",
+                    transpose_kernel=True, dtype=self.dtype, name=f"resample_{i}"
                 )(x)
             elif op == "down2":
+                # explicit pad 1 = torch Conv2d(k=3, s=2, padding=1); flax
+                # 'SAME' would pad (0,1) and shift the grid by one pixel.
                 x = nn.Conv(
-                    ldim, (3, 3), strides=(2, 2), dtype=self.dtype, name=f"resample_{i}"
+                    ldim, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name=f"resample_{i}"
                 )(x)
             x = nn.Conv(
                 self.features, (3, 3), use_bias=False, dtype=self.dtype, name=f"layer_rn_{i}"
@@ -132,8 +180,7 @@ class DPTHead(nn.Module):
         # path is now at 1/2 input resolution (1/4 grid upsampled x2 in refine1)
 
         x = nn.Conv(self.features // 2, (3, 3), dtype=self.dtype, name="head_conv1")(path)
-        b, hh, ww, c = x.shape
-        x = jax.image.resize(x, (b, h_img, w_img, c), method="bilinear")
+        x = resize_bilinear_ac(x, h_img, w_img)
         x = nn.Conv(32, (3, 3), dtype=self.dtype, name="head_conv2")(x)
         x = nn.relu(x)
         x = nn.Conv(self.out_channels, (1, 1), dtype=jnp.float32, name="head_conv3")(x)
@@ -166,7 +213,9 @@ class LocalFeaturesHead(nn.Module):
     @nn.compact
     def __call__(self, dec_tokens, enc_tokens, hp: int, wp: int):
         p = self.patch_size
-        x = jnp.concatenate([dec_tokens, enc_tokens.astype(dec_tokens.dtype)], axis=-1)
+        # Upstream Cat_MLP concatenates [encoder_tokens, decoder_tokens]
+        # (mast3r catmlp head contract); order matters for fc1 weight import.
+        x = jnp.concatenate([enc_tokens.astype(dec_tokens.dtype), dec_tokens], axis=-1)
         idim = x.shape[-1]
         h = nn.Dense(int(self.hidden_factor * idim), dtype=self.dtype, name="fc1")(x)
         h = nn.gelu(h, approximate=False)
@@ -179,5 +228,5 @@ class LocalFeaturesHead(nn.Module):
         desc = raw_desc / jnp.maximum(
             jnp.linalg.norm(raw_desc, axis=-1, keepdims=True), 1e-8
         )
-        desc_conf = postprocess_conf(pix[..., self.local_feat_dim])
+        desc_conf = postprocess_desc_conf(pix[..., self.local_feat_dim])
         return desc, desc_conf

@@ -1,33 +1,72 @@
-"""Checkpoint IO: map upstream (naver MASt3R / CroCo, torch) weights onto
+"""Checkpoint IO: map upstream (naver MASt3R / CroCo-v2, torch) weights onto
 the flax parameter tree.
 
 This environment has no network egress, so `from_pretrained`-style HTTP
-download is out of scope; instead this module converts a LOCAL safetensors
-file containing an upstream-style state dict. The name/layout mapping is
-exercised in tests by round-tripping our own randomly initialized params
-through the torch naming (export -> import -> bitwise equality), so when a
-real checkpoint is dropped in, only genuinely-missing keys can fail (and
-are reported).
+download is out of scope; this module converts a LOCAL safetensors/npz file
+containing an upstream state dict (e.g. the released
+``MASt3R_ViTLarge_BaseDecoder_512_catmlpdpt_metric`` checkpoint).
 
-Torch -> flax layout rules:
-* Linear:  weight [out, in]        -> kernel [in, out] (transpose)
-* Conv2d:  weight [out, in, kh, kw]-> kernel [kh, kw, in, out]
-* ConvT2d: weight [in, out, kh, kw]-> kernel [kh, kw, in, out] (flipped? —
-  flax ConvTranspose stores [kh, kw, in, out]; torch stores [in, out, kh, kw])
-* LayerNorm: weight/bias           -> scale/bias
+The name mapping targets the ACTUAL upstream module tree (reconstructed from
+the naver dust3r/croco/mast3r sources; the reference consumes the same
+checkpoint through its external package, reference
+mast3r_utils.py:66-76,277-294):
+
+==========================================================  =========================================
+flax tree (ours)                                            torch state-dict key (upstream)
+==========================================================  =========================================
+encoder/patch_embed/proj                                    patch_embed.proj.{weight,bias}
+encoder/blocks_{i}/{norm1,norm2}                            enc_blocks.{i}.{norm1,norm2}.*
+encoder/blocks_{i}/attn/{qkv,proj}                          enc_blocks.{i}.attn.{qkv,proj}.*
+encoder/blocks_{i}/mlp/{fc1,fc2}                            enc_blocks.{i}.mlp.{fc1,fc2}.*
+encoder/norm                                                enc_norm.*
+decoder_embed                                               decoder_embed.*
+dec_blocks_{i}/...   (same sublayout + cross_attn/norm_y)   dec_blocks.{i}.{norm1,attn.qkv,attn.proj,
+                                                              cross_attn.projq/projk/projv/proj,
+                                                              norm2,norm3,norm_y,mlp.fc1,mlp.fc2}.*
+dec_blocks2_{i}/...                                         dec_blocks2.{i}.*
+dec_norm                                                    dec_norm.*
+head{n}/act_postprocess_{i}  (Dense == 1x1 conv)            downstream_head{n}.dpt.act_postprocess.{i}.0.*
+head{n}/resample_{0,1}       (ConvTranspose, k=s)           downstream_head{n}.dpt.act_postprocess.{0,1}.1.*
+head{n}/resample_3           (Conv k3 s2 p1)                downstream_head{n}.dpt.act_postprocess.3.1.*
+head{n}/layer_rn_{i}                                        downstream_head{n}.dpt.scratch.layer{i+1}_rn.weight
+head{n}/refine{k}/rcu_skip/conv{j}                          downstream_head{n}.dpt.scratch.refinenet{k}.resConfUnit1.conv{j}.*
+head{n}/refine{k}/rcu_out/conv{j}                           downstream_head{n}.dpt.scratch.refinenet{k}.resConfUnit2.conv{j}.*
+head{n}/refine{k}/out_conv                                  downstream_head{n}.dpt.scratch.refinenet{k}.out_conv.*
+head{n}/head_conv{1,2,3}                                    downstream_head{n}.dpt.head.{0,2,4}.*
+head{n}/proj                 (linear head variant)          downstream_head{n}.proj.*
+local_head{n}/{fc1,fc2}                                     downstream_head{n}.head_local_features.{fc1,fc2}.*
+==========================================================  =========================================
+
+Layout rules (torch -> flax):
+* Linear  weight [out, in]          -> kernel [in, out]           (.T)
+* Conv2d  weight [out, in, kh, kw]  -> kernel [kh, kw, in, out]   (2,3,1,0)
+* ConvT2d weight [in, out, kh, kw]  -> kernel [kh, kw, out, in]   (2,3,1,0)
+  (our ConvTranspose layers use transpose_kernel=True, whose kernel layout
+  [kh, kw, out, in] makes the ConvT permutation identical to Conv2d's —
+  and whose compute semantics match torch's gradient-of-conv exactly; the
+  numeric fixture test vs torch.nn.ConvTranspose2d covers this)
+* act_postprocess.{i}.0 is a 1x1 Conv2d upstream but a Dense here:
+  [out, in, 1, 1] <-> [in, out] via squeeze + transpose.
+* LayerNorm weight/bias -> scale/bias.
+
+Upstream keys that are PRESENT in real checkpoints but intentionally
+unmapped (strict load ignores exactly these, nothing else):
+* ``mask_token`` — CroCo pretraining artifact, unused at inference.
+* ``downstream_head{n}.dpt.scratch.refinenet4.resConfUnit1.*`` — refinenet4
+  is called with a single input upstream (no skip), so its resConfUnit1
+  weights are dead parameters in the upstream forward as well.
 """
 
 from __future__ import annotations
 
 import re
-from typing import Any, Callable
 
 import jax
 import numpy as np
 
-
 # -- name translation -------------------------------------------------------
 
+# (flax-path regex with '/' separators, torch replacement with '.')
 _RULES: list[tuple[str, str]] = [
     # encoder
     (r"^encoder/patch_embed/proj/(.*)$", r"patch_embed.proj.\1"),
@@ -38,22 +77,44 @@ _RULES: list[tuple[str, str]] = [
     (r"^dec_blocks_(\d+)/(.*)$", r"dec_blocks.\1.\2"),
     (r"^dec_blocks2_(\d+)/(.*)$", r"dec_blocks2.\1.\2"),
     (r"^dec_norm/(.*)$", r"dec_norm.\1"),
-    # heads
-    (r"^head1/(.*)$", r"downstream_head1.\1"),
-    (r"^head2/(.*)$", r"downstream_head2.\1"),
-    (r"^local_head1/(.*)$", r"head_local_features1.\1"),
-    (r"^local_head2/(.*)$", r"head_local_features2.\1"),
+    # DPT heads
+    (r"^head([12])/act_postprocess_(\d+)/(.*)$",
+     r"downstream_head\1.dpt.act_postprocess.\2.0.\3"),
+    (r"^head([12])/resample_(\d+)/(.*)$",
+     r"downstream_head\1.dpt.act_postprocess.\2.1.\3"),
+    (r"^head([12])/layer_rn_0/(.*)$", r"downstream_head\1.dpt.scratch.layer1_rn.\2"),
+    (r"^head([12])/layer_rn_1/(.*)$", r"downstream_head\1.dpt.scratch.layer2_rn.\2"),
+    (r"^head([12])/layer_rn_2/(.*)$", r"downstream_head\1.dpt.scratch.layer3_rn.\2"),
+    (r"^head([12])/layer_rn_3/(.*)$", r"downstream_head\1.dpt.scratch.layer4_rn.\2"),
+    (r"^head([12])/refine(\d)/rcu_skip/(.*)$",
+     r"downstream_head\1.dpt.scratch.refinenet\2.resConfUnit1.\3"),
+    (r"^head([12])/refine(\d)/rcu_out/(.*)$",
+     r"downstream_head\1.dpt.scratch.refinenet\2.resConfUnit2.\3"),
+    (r"^head([12])/refine(\d)/out_conv/(.*)$",
+     r"downstream_head\1.dpt.scratch.refinenet\2.out_conv.\3"),
+    (r"^head([12])/head_conv1/(.*)$", r"downstream_head\1.dpt.head.0.\2"),
+    (r"^head([12])/head_conv2/(.*)$", r"downstream_head\1.dpt.head.2.\2"),
+    (r"^head([12])/head_conv3/(.*)$", r"downstream_head\1.dpt.head.4.\2"),
+    # linear head variant (DUSt3R LinearPts3d)
+    (r"^head([12])/proj/(.*)$", r"downstream_head\1.proj.\2"),
+    # catmlp local-features head
+    (r"^local_head([12])/(.*)$", r"downstream_head\1.head_local_features.\2"),
 ]
 
-_LEAF_RENAME = {
-    "kernel": "weight",
-    "scale": "weight",
-    "bias": "bias",
-}
+_LEAF_RENAME = {"kernel": "weight", "scale": "weight", "bias": "bias"}
+
+# Upstream keys a real checkpoint contains that we deliberately don't load.
+_IGNORED_UPSTREAM = [
+    re.compile(r"^mask_token$"),
+    re.compile(r"^downstream_head[12]\.dpt\.scratch\.refinenet4\.resConfUnit1\."),
+]
+
+# flax params that map onto a 1x1 Conv2d upstream (Dense here).
+_DENSE_AS_CONV1X1 = re.compile(r"\.dpt\.act_postprocess\.\d+\.0\.weight$")
 
 
 def _flax_path_to_torch_name(path: tuple[str, ...]) -> str:
-    """('params', 'encoder', 'blocks_0', 'attn', 'qkv', 'kernel') ->
+    """('params','encoder','blocks_0','attn','qkv','kernel') ->
     'enc_blocks.0.attn.qkv.weight'."""
     parts = [p for p in path if p != "params"]
     leaf = parts[-1]
@@ -67,30 +128,39 @@ def _flax_path_to_torch_name(path: tuple[str, ...]) -> str:
     return name.replace("/", ".")
 
 
-def _to_torch_layout(leaf_name: str, module_hint: str, value: np.ndarray) -> np.ndarray:
-    """Transpose a flax param into torch layout for export."""
-    if leaf_name != "weight":
+def _to_torch_layout(torch_name: str, value: np.ndarray) -> np.ndarray:
+    """Flax param -> torch layout for export."""
+    if not torch_name.endswith("weight"):
         return value
-    if value.ndim == 2:  # linear kernel [in, out] -> [out, in]
+    if _DENSE_AS_CONV1X1.search(torch_name):
+        return value.T[..., None, None]  # [in,out] -> [out,in,1,1]
+    if value.ndim == 2:  # linear [in,out] -> [out,in]
         return value.T
-    if value.ndim == 4:  # conv kernel [kh, kw, in, out] -> [out, in, kh, kw]
+    if value.ndim == 4:  # conv/convT [kh,kw,a,b] -> [b,a,kh,kw]
         return value.transpose(3, 2, 0, 1)
     return value
 
 
-def _from_torch_layout(flax_leaf: str, flax_shape, value: np.ndarray) -> np.ndarray:
-    """Inverse of _to_torch_layout (leaf-driven; shape checks only verify)."""
+def _from_torch_layout(torch_name: str, flax_shape, value: np.ndarray) -> np.ndarray:
+    """Torch tensor -> flax layout; shape-checked."""
     v = value
-    if flax_leaf == "kernel":
-        if v.ndim == 2:  # [out, in] -> [in, out]
+    if torch_name.endswith("weight"):
+        if _DENSE_AS_CONV1X1.search(torch_name) and v.ndim == 4:
+            v = v[..., 0, 0].T  # [out,in,1,1] -> [in,out]
+        elif v.ndim == 2:
             v = v.T
-        elif v.ndim == 4:  # [out, in, kh, kw] -> [kh, kw, in, out]
+        elif v.ndim == 4:
             v = v.transpose(2, 3, 1, 0)
     if v.shape != tuple(flax_shape):
         raise ValueError(
-            f"cannot map torch tensor {value.shape} -> flax {tuple(flax_shape)}"
+            f"cannot map torch tensor {value.shape} ({torch_name}) "
+            f"-> flax {tuple(flax_shape)}"
         )
     return v
+
+
+def _is_ignored(torch_name: str) -> bool:
+    return any(p.search(torch_name) for p in _IGNORED_UPSTREAM)
 
 
 def export_torch_state_dict(params) -> dict[str, np.ndarray]:
@@ -98,21 +168,21 @@ def export_torch_state_dict(params) -> dict[str, np.ndarray]:
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     out = {}
     for path, value in flat:
-        keys = tuple(
-            p.key if hasattr(p, "key") else str(p) for p in path
-        )
+        keys = tuple(p.key if hasattr(p, "key") else str(p) for p in path)
         name = _flax_path_to_torch_name(keys)
-        leaf = name.rsplit(".", 1)[-1]
-        out[name] = _to_torch_layout(leaf, name, np.asarray(value))
+        out[name] = _to_torch_layout(name, np.asarray(value))
     return out
 
 
 def import_torch_state_dict(
-    params, state: dict[str, np.ndarray], strict: bool = False
+    params, state: dict[str, np.ndarray], strict: bool = True
 ):
-    """Upstream-style state dict -> flax params (same tree structure).
+    """Upstream state dict -> flax params (same tree structure).
 
-    Unknown/missing keys are collected; strict=True raises on any.
+    strict=True (default) raises on ANY missing param or unexpected
+    checkpoint key, except the documented-dead upstream keys
+    (_IGNORED_UPSTREAM). strict=False keeps unmatched params at their
+    current values and prints a summary.
     """
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     used, missing = set(), []
@@ -122,27 +192,41 @@ def import_torch_state_dict(
         name = _flax_path_to_torch_name(keys)
         if name in state:
             new_leaves.append(
-                _from_torch_layout(keys[-1], value.shape, np.asarray(state[name])).astype(
-                    np.asarray(value).dtype
-                )
+                _from_torch_layout(name, value.shape, np.asarray(state[name]))
+                .astype(np.asarray(value).dtype)
             )
             used.add(name)
         else:
             missing.append(name)
             new_leaves.append(np.asarray(value))
-    unexpected = sorted(set(state) - used)
+    unexpected = sorted(k for k in set(state) - used if not _is_ignored(k))
     if strict and (missing or unexpected):
-        raise KeyError(f"missing={missing[:10]} unexpected={unexpected[:10]}")
+        raise KeyError(
+            f"strict checkpoint load failed: {len(missing)} missing "
+            f"(e.g. {missing[:8]}), {len(unexpected)} unexpected "
+            f"(e.g. {unexpected[:8]})"
+        )
     if missing:
-        print(f"[models/io] {len(missing)} params not found in checkpoint "
-              f"(kept initialized), e.g. {missing[:5]}")
+        print(
+            f"[models/io] {len(missing)} params not found in checkpoint "
+            f"(kept initialized), e.g. {missing[:5]}"
+        )
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
-def load_checkpoint_into(params, path: str, strict: bool = False):
-    """Load a local safetensors (or .npz) checkpoint into a param tree."""
+def load_checkpoint_into(params, path: str, strict: bool = True):
+    """Load a local safetensors / .npz / torch .pth checkpoint."""
     if path.endswith(".npz"):
         state = dict(np.load(path))
+    elif path.endswith((".pth", ".pt", ".bin")):
+        import torch
+
+        raw = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(raw, dict) and "model" in raw:
+            raw = raw["model"]  # naver releases wrap the state dict
+        state = {
+            k.removeprefix("module."): v.detach().numpy() for k, v in raw.items()
+        }
     else:
         from safetensors.numpy import load_file
 

@@ -225,6 +225,13 @@ class MASt3RModel:
         self.params = params
         self.resolution = resolution
         self.net = MASt3RNet(cfg)
+        self._out_hw: Optional[tuple[int, int]] = None
+        self._build_programs()
+
+    def _build_programs(self) -> None:
+        """(Re)build the jitted inference programs. decode/mono close over
+        `_out_hw`, so they must be rebuilt whenever it changes — otherwise a
+        stale trace for the same token count would reshape wrongly."""
         self._encode_jit = jax.jit(
             lambda p, img: self.net.apply(p, img, method=MASt3RNet.encode)
         )
@@ -246,7 +253,19 @@ class MASt3RModel:
             return Xii, Cii
 
         self._mono_jit = jax.jit(_mono)
-        self._out_hw: Optional[tuple[int, int]] = None
+
+    def set_out_hw(self, h: int, w: int) -> None:
+        """Pin the decode output resolution to the ACTUAL processed frame
+        shape. Preprocessing crops to the input's own aspect ratio (e.g.
+        EuRoC 752x480 -> 320x512), which need not match the canonical 4:3
+        shape assumed at creation — the SLAM pipeline calls this on the
+        first frame."""
+        if (h, w) == self._out_hw:
+            return
+        p = self.cfg.patch_size
+        assert h % p == 0 and w % p == 0, f"out_hw {(h, w)} not /{p}"
+        self._out_hw = (h, w)
+        self._build_programs()
 
     @property
     def embed_dim(self) -> int:

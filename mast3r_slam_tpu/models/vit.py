@@ -32,39 +32,46 @@ from mast3r_slam_tpu.ops.attention import attention
 def rope_2d_angles(
     positions: jax.Array, head_dim: int, base: float = 100.0
 ) -> tuple[jax.Array, jax.Array]:
-    """cos/sin tables for 2D rotary embeddings.
+    """cos/sin tables for CroCo-v2 2D rotary embeddings.
+
+    CroCo's RoPE2D splits the head dim D into a y-half and an x-half; each
+    half is rotated GPT-NeoX style (rotate_half over D/4-sized chunks) with
+    frequencies base^(-2i/(D/2)) duplicated across the two chunks. Matching
+    this exact layout is required for upstream checkpoint fidelity — an
+    interleaved-pair layout would permute the effective q/k dimensions.
 
     Args:
         positions: [B, S, 2] integer (x, y) patch coordinates
-        head_dim: per-head dim D (split D/2 for y, D/2 for x; each half uses
-            interleaved pair rotation like standard 1D RoPE)
+        head_dim: per-head dim D (must be divisible by 4)
 
     Returns:
-        cos, sin: [B, S, D/2] tables (pairs expanded at apply time)
+        cos, sin: [B, S, D] tables laid out [fy, fy, fx, fx] (quarters)
     """
     assert head_dim % 4 == 0, f"RoPE-2D needs head_dim % 4 == 0, got {head_dim}"
-    half = head_dim // 2  # per-axis sub-dim
-    quarter = half // 2
+    quarter = head_dim // 4
     freqs = 1.0 / (base ** (jnp.arange(0, quarter, dtype=jnp.float32) / quarter))
     y = positions[..., 1].astype(jnp.float32)
     x = positions[..., 0].astype(jnp.float32)
     ang_y = y[..., None] * freqs  # [B, S, quarter]
     ang_x = x[..., None] * freqs
-    ang = jnp.concatenate([ang_y, ang_x], axis=-1)  # [B, S, half]
+    ang = jnp.concatenate([ang_y, ang_y, ang_x, ang_x], axis=-1)  # [B, S, D]
     return jnp.cos(ang), jnp.sin(ang)
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """Rotate pairs: x [B, H, S, D], cos/sin [B, S, D/2]."""
+    """CroCo-exact rotation: x [B, H, S, D], cos/sin [B, S, D].
+
+    out = x * cos + rotate_half_per_axis(x) * sin, where rotate_half acts
+    independently on the y-half x[..., :D/2] and the x-half x[..., D/2:].
+    """
     d = x.shape[-1]
-    x1 = x[..., 0::2]  # [B, H, S, D/2]
-    x2 = x[..., 1::2]
+    q = d // 4
+    y1, y2 = x[..., 0:q], x[..., q : 2 * q]
+    x1, x2 = x[..., 2 * q : 3 * q], x[..., 3 * q :]
+    rot = jnp.concatenate([-y2, y1, -x2, x1], axis=-1)
     c = cos[:, None, :, :]
     s = sin[:, None, :, :]
-    r1 = x1 * c - x2 * s
-    r2 = x1 * s + x2 * c
-    out = jnp.stack([r1, r2], axis=-1).reshape(*x.shape[:-1], d)
-    return out
+    return x * c + rot * s
 
 
 # ---------------------------------------------------------------------------

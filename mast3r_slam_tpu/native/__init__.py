@@ -7,6 +7,7 @@ the Python/PIL paths are used instead (`native_available()` reports which).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import subprocess
 import threading
 from pathlib import Path
@@ -16,9 +17,17 @@ import numpy as np
 _HERE = Path(__file__).parent
 _SO = _HERE / "_preprocess.so"
 _SRC = _HERE / "preprocess.cpp"
+_STAMP = _HERE / "_preprocess.hash"
 _lock = threading.Lock()
 _lib = None
 _build_failed = False
+
+
+def _src_hash() -> str:
+    # content hash (not mtime): a stale or foreign-machine binary — built
+    # with -march=native elsewhere — must never be dlopen'ed here. The .so
+    # is NOT version-controlled; it is always built locally.
+    return hashlib.sha256(_SRC.read_bytes()).hexdigest()
 
 
 def _build() -> bool:
@@ -35,9 +44,19 @@ def _build() -> bool:
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        _STAMP.write_text(_src_hash())
         return True
     except Exception as e:  # pragma: no cover
         print(f"[native] build failed ({e}); using Python fallback")
+        return False
+
+
+def _is_fresh() -> bool:
+    if not (_SO.exists() and _STAMP.exists()):
+        return False
+    try:
+        return _STAMP.read_text().strip() == _src_hash()
+    except OSError:  # pragma: no cover
         return False
 
 
@@ -46,7 +65,7 @@ def _load():
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        if not _is_fresh():
             if not _build():
                 _build_failed = True
                 return None

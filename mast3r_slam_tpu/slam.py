@@ -131,6 +131,11 @@ class SLAM:
         return self._get_results()
 
     def _initialize_state(self, h: int, w: int) -> None:
+        # Decode resolution = the ACTUAL processed frame shape (preprocess
+        # crops to the input's own aspect ratio, e.g. EuRoC 752x480 ->
+        # 320x512, which need not match the canonical 4:3 creation shape).
+        if hasattr(self.model, "set_out_hw"):
+            self.model.set_out_hw(h, w)
         # Pointmap resolution follows dataset.img_downsample (model outputs
         # are stride-subsampled in inference._flatten_out).
         f = max(1, self.config.dataset.img_downsample)
@@ -138,6 +143,12 @@ class SLAM:
         self.state = SLAMState(mode=Mode.INIT)
         if self.config.use_calib and self.config.dataset.calib:
             fx, fy, cx, cy = self.config.dataset.calib
+            if f > 1:
+                # Keyframes live at the subsampled resolution; rescale the
+                # intrinsics to it (pixel-center aware: u' = (u+.5)/f - .5).
+                fx, fy = fx / f, fy / f
+                cx = (cx + 0.5) / f - 0.5
+                cy = (cy + 0.5) / f - 0.5
             self.keyframes.set_intrinsics(
                 jnp.asarray(
                     [[fx, 0.0, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]], jnp.float32

@@ -30,9 +30,10 @@ class TestForward:
             assert out["conf"].shape == (1, h, w)
             assert out["desc"].shape == (1, h, w, 24)
             assert out["desc_conf"].shape == (1, h, w)
-            # conf parameterization: >= 1 by construction
+            # conf = 1+exp(x) >= 1; desc_conf = exp(x) > 0 (upstream
+            # desc_conf_mode ('exp', 0, inf) — different lower bound)
             assert float(jnp.min(out["conf"])) >= 1.0
-            assert float(jnp.min(out["desc_conf"])) >= 1.0
+            assert float(jnp.min(out["desc_conf"])) > 0.0
             # descriptors are unit-norm
             norms = jnp.linalg.norm(out["desc"], axis=-1)
             np.testing.assert_allclose(np.asarray(norms), 1.0, atol=1e-3)

@@ -1,0 +1,655 @@
+"""Upstream-checkpoint fidelity: a torch twin of the naver MASt3R network.
+
+This file re-implements the upstream architecture (CroCo-v2 RoPE ViT encoder,
+twin cross-attention decoders, DPT pts3d head, catmlp local-features head) in
+torch with the EXACT upstream module names, then:
+
+1. asserts our exported key set == the twin's ``state_dict()`` key set
+   (an independent enumeration — torch generates these names from module
+   structure, not from our mapping rules), and
+2. loads the twin's randomly initialized state dict into the flax model with
+   ``strict=True`` and checks the two implementations produce the same
+   outputs (pts3d / conf / desc / desc_conf) on the same input.
+
+If this passes, a real ``MASt3R_ViTLarge_BaseDecoder_512_catmlpdpt_metric``
+checkpoint loads strict-clean and yields matching numerics, because the twin
+follows the published naver sources layer by layer (croco/models/blocks.py,
+croco/models/pos_embed.py RoPE2D, croco/models/dpt_block.py,
+dust3r/heads/dpt_head.py, mast3r/catmlp_dpt_head.py), which the reference
+consumes through its external package (reference mast3r_utils.py:66-76).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+import torch.nn.functional as F  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from mast3r_slam_tpu.models import MASt3RConfig, MASt3RModel  # noqa: E402
+from mast3r_slam_tpu.models.io import (  # noqa: E402
+    export_torch_state_dict,
+    import_torch_state_dict,
+)
+
+# ---------------------------------------------------------------------------
+# Torch twin (upstream naming, upstream ops)
+# ---------------------------------------------------------------------------
+
+
+class RoPE2D:
+    """croco/models/pos_embed.py RoPE2D (pure-torch fallback path)."""
+
+    def __init__(self, freq=100.0):
+        self.base = freq
+
+    def get_cos_sin(self, D, seq_len, dtype):
+        inv_freq = 1.0 / (self.base ** (torch.arange(0, D, 2).float() / D))
+        t = torch.arange(seq_len, dtype=inv_freq.dtype)
+        freqs = torch.einsum("i,j->ij", t, inv_freq).to(dtype)
+        freqs = torch.cat((freqs, freqs), dim=-1)
+        return freqs.cos(), freqs.sin()
+
+    @staticmethod
+    def rotate_half(x):
+        x1, x2 = x.chunk(2, dim=-1)
+        return torch.cat((-x2, x1), dim=-1)
+
+    def apply_rope1d(self, tokens, pos1d, cos, sin):
+        cos = F.embedding(pos1d, cos)[:, None, :, :]
+        sin = F.embedding(pos1d, sin)[:, None, :, :]
+        return (tokens * cos) + (self.rotate_half(tokens) * sin)
+
+    def __call__(self, tokens, positions):
+        # tokens [B, nheads, ntokens, dim]; positions [B, ntokens, 2] (y, x)
+        assert tokens.size(3) % 2 == 0
+        D = tokens.size(3) // 2
+        cos, sin = self.get_cos_sin(D, int(positions.max()) + 1, tokens.dtype)
+        y, x = tokens.chunk(2, dim=-1)
+        y = self.apply_rope1d(y, positions[:, :, 0], cos, sin)
+        x = self.apply_rope1d(x, positions[:, :, 1], cos, sin)
+        return torch.cat((y, x), dim=-1)
+
+
+class Mlp(nn.Module):
+    def __init__(self, in_f, hidden, out_f):
+        super().__init__()
+        self.fc1 = nn.Linear(in_f, hidden)
+        self.act = nn.GELU()
+        self.fc2 = nn.Linear(hidden, out_f)
+
+    def forward(self, x):
+        return self.fc2(self.act(self.fc1(x)))
+
+
+class Attention(nn.Module):
+    def __init__(self, dim, rope, num_heads):
+        super().__init__()
+        self.num_heads = num_heads
+        self.scale = (dim // num_heads) ** -0.5
+        self.qkv = nn.Linear(dim, dim * 3, bias=True)
+        self.proj = nn.Linear(dim, dim)
+        self.rope = rope
+
+    def forward(self, x, xpos):
+        B, N, C = x.shape
+        qkv = (
+            self.qkv(x)
+            .reshape(B, N, 3, self.num_heads, C // self.num_heads)
+            .permute(2, 0, 3, 1, 4)
+        )
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        q = self.rope(q, xpos)
+        k = self.rope(k, xpos)
+        attn = (q @ k.transpose(-2, -1)) * self.scale
+        attn = attn.softmax(dim=-1)
+        x = (attn @ v).transpose(1, 2).reshape(B, N, C)
+        return self.proj(x)
+
+
+class CrossAttention(nn.Module):
+    def __init__(self, dim, rope, num_heads):
+        super().__init__()
+        self.num_heads = num_heads
+        self.scale = (dim // num_heads) ** -0.5
+        self.projq = nn.Linear(dim, dim, bias=True)
+        self.projk = nn.Linear(dim, dim, bias=True)
+        self.projv = nn.Linear(dim, dim, bias=True)
+        self.proj = nn.Linear(dim, dim)
+        self.rope = rope
+
+    def forward(self, query, key, value, qpos, kpos):
+        B, Nq, C = query.shape
+        Nk = key.shape[1]
+        H, hd = self.num_heads, C // self.num_heads
+        q = self.projq(query).reshape(B, Nq, H, hd).permute(0, 2, 1, 3)
+        k = self.projk(key).reshape(B, Nk, H, hd).permute(0, 2, 1, 3)
+        v = self.projv(value).reshape(B, Nk, H, hd).permute(0, 2, 1, 3)
+        q = self.rope(q, qpos)
+        k = self.rope(k, kpos)
+        attn = (q @ k.transpose(-2, -1)) * self.scale
+        attn = attn.softmax(dim=-1)
+        x = (attn @ v).transpose(1, 2).reshape(B, Nq, C)
+        return self.proj(x)
+
+
+def _ln(dim):
+    return nn.LayerNorm(dim, eps=1e-6)
+
+
+class Block(nn.Module):
+    def __init__(self, dim, num_heads, rope):
+        super().__init__()
+        self.norm1 = _ln(dim)
+        self.attn = Attention(dim, rope, num_heads)
+        self.norm2 = _ln(dim)
+        self.mlp = Mlp(dim, int(dim * 4), dim)
+
+    def forward(self, x, xpos):
+        x = x + self.attn(self.norm1(x), xpos)
+        x = x + self.mlp(self.norm2(x))
+        return x
+
+
+class DecoderBlock(nn.Module):
+    def __init__(self, dim, num_heads, rope):
+        super().__init__()
+        self.norm1 = _ln(dim)
+        self.attn = Attention(dim, rope, num_heads)
+        self.cross_attn = CrossAttention(dim, rope, num_heads)
+        self.norm2 = _ln(dim)
+        self.norm3 = _ln(dim)
+        self.norm_y = _ln(dim)
+        self.mlp = Mlp(dim, int(dim * 4), dim)
+
+    def forward(self, x, y, xpos, ypos):
+        x = x + self.attn(self.norm1(x), xpos)
+        y_ = self.norm_y(y)
+        x = x + self.cross_attn(self.norm2(x), y_, y_, xpos, ypos)
+        x = x + self.mlp(self.norm3(x))
+        return x, y
+
+
+class PatchEmbed(nn.Module):
+    def __init__(self, patch_size, in_chans, embed_dim):
+        super().__init__()
+        self.proj = nn.Conv2d(in_chans, embed_dim, patch_size, patch_size)
+        self.patch_size = patch_size
+
+    def forward(self, img):  # [B, 3, H, W]
+        x = self.proj(img).flatten(2).transpose(1, 2)  # [B, S, C]
+        B = img.shape[0]
+        hp, wp = img.shape[2] // self.patch_size, img.shape[3] // self.patch_size
+        pos = torch.cartesian_prod(torch.arange(hp), torch.arange(wp))  # (y, x)
+        pos = pos[None].expand(B, -1, -1).long()
+        return x, pos
+
+
+# ---- DPT head (croco/models/dpt_block.py + dust3r DPTOutputAdapter_fix) ----
+
+
+class Interpolate(nn.Module):
+    def __init__(self, scale_factor):
+        super().__init__()
+        self.scale_factor = scale_factor
+
+    def forward(self, x):
+        return F.interpolate(
+            x, scale_factor=self.scale_factor, mode="bilinear", align_corners=True
+        )
+
+
+class ResidualConvUnit(nn.Module):
+    def __init__(self, features):
+        super().__init__()
+        self.conv1 = nn.Conv2d(features, features, 3, 1, 1)
+        self.conv2 = nn.Conv2d(features, features, 3, 1, 1)
+
+    def forward(self, x):
+        out = F.relu(x)
+        out = self.conv1(out)
+        out = F.relu(out)
+        out = self.conv2(out)
+        return out + x
+
+
+class FeatureFusionBlock(nn.Module):
+    def __init__(self, features):
+        super().__init__()
+        self.out_conv = nn.Conv2d(features, features, 1)
+        self.resConfUnit1 = ResidualConvUnit(features)
+        self.resConfUnit2 = ResidualConvUnit(features)
+
+    def forward(self, *xs):
+        output = xs[0]
+        if len(xs) == 2:
+            output = output + self.resConfUnit1(xs[1])
+        output = self.resConfUnit2(output)
+        output = F.interpolate(
+            output, scale_factor=2, mode="bilinear", align_corners=True
+        )
+        return self.out_conv(output)
+
+
+class DPT(nn.Module):
+    def __init__(self, dim_tokens, layer_dims=(96, 192, 384, 768), features=256,
+                 out_channels=4):
+        super().__init__()
+        d = layer_dims
+        self.act_postprocess = nn.ModuleList(
+            [
+                nn.Sequential(
+                    nn.Conv2d(dim_tokens[0], d[0], 1),
+                    nn.ConvTranspose2d(d[0], d[0], 4, 4),
+                ),
+                nn.Sequential(
+                    nn.Conv2d(dim_tokens[1], d[1], 1),
+                    nn.ConvTranspose2d(d[1], d[1], 2, 2),
+                ),
+                nn.Sequential(nn.Conv2d(dim_tokens[2], d[2], 1)),
+                nn.Sequential(
+                    nn.Conv2d(dim_tokens[3], d[3], 1),
+                    nn.Conv2d(d[3], d[3], 3, 2, 1),
+                ),
+            ]
+        )
+        self.scratch = nn.Module()
+        self.scratch.layer1_rn = nn.Conv2d(d[0], features, 3, 1, 1, bias=False)
+        self.scratch.layer2_rn = nn.Conv2d(d[1], features, 3, 1, 1, bias=False)
+        self.scratch.layer3_rn = nn.Conv2d(d[2], features, 3, 1, 1, bias=False)
+        self.scratch.layer4_rn = nn.Conv2d(d[3], features, 3, 1, 1, bias=False)
+        self.scratch.refinenet1 = FeatureFusionBlock(features)
+        self.scratch.refinenet2 = FeatureFusionBlock(features)
+        self.scratch.refinenet3 = FeatureFusionBlock(features)
+        self.scratch.refinenet4 = FeatureFusionBlock(features)
+        self.head = nn.Sequential(
+            nn.Conv2d(features, features // 2, 3, 1, 1),
+            Interpolate(2),
+            nn.Conv2d(features // 2, 32, 3, 1, 1),
+            nn.ReLU(True),
+            nn.Conv2d(32, out_channels, 1),
+        )
+
+    def forward(self, hooks, hp, wp):
+        layers = [t.transpose(1, 2).reshape(t.shape[0], -1, hp, wp) for t in hooks]
+        layers = [self.act_postprocess[i](l) for i, l in enumerate(layers)]
+        l1 = self.scratch.layer1_rn(layers[0])
+        l2 = self.scratch.layer2_rn(layers[1])
+        l3 = self.scratch.layer3_rn(layers[2])
+        l4 = self.scratch.layer4_rn(layers[3])
+        path4 = self.scratch.refinenet4(l4)[:, :, : l3.shape[2], : l3.shape[3]]
+        path3 = self.scratch.refinenet3(path4, l3)
+        path2 = self.scratch.refinenet2(path3, l2)
+        path1 = self.scratch.refinenet1(path2, l1)
+        return self.head(path1)
+
+
+class CatMLPDPTHead(nn.Module):
+    """mast3r/catmlp_dpt_head.py Cat_MLP_LocalFeatures_DPT_Pts3d."""
+
+    def __init__(self, enc_dim, dec_dim, patch_size, local_feat_dim=24):
+        super().__init__()
+        self.patch_size = patch_size
+        self.local_feat_dim = local_feat_dim
+        self.dpt = DPT([enc_dim, dec_dim, dec_dim, dec_dim])
+        idim = enc_dim + dec_dim
+        self.head_local_features = Mlp(
+            idim, int(4 * idim), (local_feat_dim + 1) * patch_size**2
+        )
+
+    def forward(self, decout, img_shape, hooks_idx):
+        H, W = img_shape
+        p = self.patch_size
+        hp, wp = H // p, W // p
+        hooks = [decout[i] for i in hooks_idx]
+        pts3d = self.dpt(hooks, hp, wp)  # [B, 4, H, W]
+
+        enc_output, dec_output = decout[0], decout[-1]
+        cat_output = torch.cat([enc_output, dec_output], dim=-1)
+        B, S, D = cat_output.shape
+        local_features = self.head_local_features(cat_output)
+        local_features = local_features.transpose(-1, -2).view(B, -1, hp, wp)
+        local_features = F.pixel_shuffle(local_features, p)  # [B, d+1, H, W]
+
+        out = torch.cat([pts3d, local_features], dim=1)
+        return postprocess(out, self.local_feat_dim)
+
+
+class LinearPts3dHead(nn.Module):
+    """dust3r/heads/linear_head.py LinearPts3d (named 'proj' upstream),
+    plus the catmlp local-features Mlp — our linear family keeps descriptors
+    because the SLAM matcher needs them (the pure-upstream linear head has
+    none; only the 'proj' naming is an upstream contract here)."""
+
+    def __init__(self, enc_dim, dec_dim, patch_size, local_feat_dim=24):
+        super().__init__()
+        self.patch_size = patch_size
+        self.local_feat_dim = local_feat_dim
+        self.proj = nn.Linear(dec_dim, 4 * patch_size**2)
+        idim = enc_dim + dec_dim
+        self.head_local_features = Mlp(
+            idim, int(4 * idim), (local_feat_dim + 1) * patch_size**2
+        )
+
+    def forward(self, decout, img_shape):
+        H, W = img_shape
+        p = self.patch_size
+        tokens = decout[-1]
+        B, S, _ = tokens.shape
+        feat = self.proj(tokens)
+        feat = feat.transpose(-1, -2).view(B, -1, H // p, W // p)
+        pts3d = F.pixel_shuffle(feat, p)  # [B, 4, H, W]
+
+        cat_output = torch.cat([decout[0], decout[-1]], dim=-1)
+        local_features = self.head_local_features(cat_output)
+        local_features = local_features.transpose(-1, -2).view(B, -1, H // p, W // p)
+        local_features = F.pixel_shuffle(local_features, p)
+        out = torch.cat([pts3d, local_features], dim=1)
+        return postprocess(out, self.local_feat_dim)
+
+
+def postprocess(out, desc_dim=None):
+    """dust3r/heads/postprocess.py + mast3r two_confs variant."""
+    fmap = out.permute(0, 2, 3, 1)
+    raw = fmap[..., :3]
+    d = raw.norm(dim=-1, keepdim=True)
+    pts3d = raw / d.clamp(min=1e-8) * torch.expm1(d)
+    conf = 1.0 + fmap[..., 3].exp()
+    res = {"pts3d": pts3d, "conf": conf}
+    if desc_dim is not None:
+        res["desc"] = F.normalize(fmap[..., 4 : 4 + desc_dim], dim=-1)
+        res["desc_conf"] = fmap[..., 4 + desc_dim].exp()  # ('exp', 0, inf)
+    return res
+
+
+class TorchMASt3R(nn.Module):
+    """AsymmetricMASt3R skeleton with upstream parameter names."""
+
+    def __init__(self, enc_dim=64, enc_depth=2, enc_heads=2, dec_dim=48,
+                 dec_depth=2, dec_heads=2, patch_size=16, head_type="dpt"):
+        super().__init__()
+        self.patch_size = patch_size
+        self.head_type = head_type
+        rope = RoPE2D(100.0)
+        self.patch_embed = PatchEmbed(patch_size, 3, enc_dim)
+        self.mask_token = nn.Parameter(torch.zeros(1, 1, enc_dim))  # dead
+        self.enc_blocks = nn.ModuleList(
+            [Block(enc_dim, enc_heads, rope) for _ in range(enc_depth)]
+        )
+        self.enc_norm = _ln(enc_dim)
+        self.decoder_embed = nn.Linear(enc_dim, dec_dim)
+        self.dec_blocks = nn.ModuleList(
+            [DecoderBlock(dec_dim, dec_heads, rope) for _ in range(dec_depth)]
+        )
+        self.dec_blocks2 = nn.ModuleList(
+            [DecoderBlock(dec_dim, dec_heads, rope) for _ in range(dec_depth)]
+        )
+        self.dec_norm = _ln(dec_dim)
+        if head_type == "dpt":
+            self.downstream_head1 = CatMLPDPTHead(enc_dim, dec_dim, patch_size)
+            self.downstream_head2 = CatMLPDPTHead(enc_dim, dec_dim, patch_size)
+        else:
+            self.downstream_head1 = LinearPts3dHead(enc_dim, dec_dim, patch_size)
+            self.downstream_head2 = LinearPts3dHead(enc_dim, dec_dim, patch_size)
+        self.dec_depth = dec_depth
+
+    def _encode_image(self, img):
+        x, pos = self.patch_embed(img)
+        for blk in self.enc_blocks:
+            x = blk(x, pos)
+        return self.enc_norm(x), pos
+
+    def _decoder(self, f1, pos1, f2, pos2):
+        final_output = [(f1, f2)]
+        f1 = self.decoder_embed(f1)
+        f2 = self.decoder_embed(f2)
+        final_output.append((f1, f2))
+        for blk1, blk2 in zip(self.dec_blocks, self.dec_blocks2):
+            f1, _ = blk1(*final_output[-1][::+1], pos1, pos2)
+            f2, _ = blk2(*final_output[-1][::-1], pos2, pos1)
+            final_output.append((f1, f2))
+        del final_output[1]  # duplicate of [0] post-embed
+        final_output[-1] = tuple(map(self.dec_norm, final_output[-1]))
+        return zip(*final_output)
+
+    def forward(self, img1, img2):  # [B, 3, H, W]
+        H, W = img1.shape[2:]
+        f1, pos1 = self._encode_image(img1)
+        f2, pos2 = self._encode_image(img2)
+        dec1, dec2 = self._decoder(f1, pos1, f2, pos2)
+        dec1, dec2 = list(dec1), list(dec2)
+        d = self.dec_depth
+        hooks_idx = [0, d * 2 // 4, d * 3 // 4, d]
+        if self.head_type == "dpt":
+            out1 = self.downstream_head1(dec1, (H, W), hooks_idx)
+            out2 = self.downstream_head2(dec2, (H, W), hooks_idx)
+        else:
+            out1 = self.downstream_head1(dec1, (H, W))
+            out2 = self.downstream_head2(dec2, (H, W))
+        return out1, out2
+
+
+# ---------------------------------------------------------------------------
+# Fixtures
+# ---------------------------------------------------------------------------
+
+
+def _flax_model(head_type: str) -> MASt3RModel:
+    cfg = MASt3RConfig(
+        enc_embed_dim=64,
+        enc_depth=2,
+        enc_num_heads=2,
+        patch_size=16,
+        dec_embed_dim=48,
+        dec_depth=2,
+        dec_num_heads=2,
+        head_type=head_type,
+        dtype=jnp.float32,
+    )
+    return MASt3RModel.create(resolution=64, _test_cfg=cfg)
+
+
+def _torch_model(head_type: str) -> TorchMASt3R:
+    torch.manual_seed(7)
+    m = TorchMASt3R(head_type=head_type)
+    # Perturb ALL parameters away from any symmetric init so that layout
+    # mistakes (transposes, flips, channel order) cannot cancel out; then
+    # scale the final output layers so conf logits stay in a realistic
+    # range (upstream computes exp() unclipped — random logits of ~40+
+    # overflow and make comparison meaningless).
+    with torch.no_grad():
+        for name, p in m.named_parameters():
+            p.add_(0.05 * torch.randn_like(p))
+            if "dpt.head.4" in name or "head_local_features.fc2" in name:
+                p.mul_(0.05)
+    return m.eval()
+
+
+def _np_state_dict(m: nn.Module) -> dict:
+    return {k: v.detach().numpy() for k, v in m.state_dict().items()}
+
+
+IGNORED = {"mask_token"}
+
+
+def _is_ignored_key(k: str) -> bool:
+    return k in IGNORED or ".dpt.scratch.refinenet4.resConfUnit1." in k
+
+
+# ---------------------------------------------------------------------------
+# Tests
+# ---------------------------------------------------------------------------
+
+
+class TestKeyParity:
+    @pytest.mark.parametrize("head_type", ["dpt", "linear"])
+    def test_key_sets_match_upstream_enumeration(self, head_type):
+        """Export keys == torch twin state_dict keys (minus documented-dead
+        upstream params). The twin's names come from torch module structure,
+        so this is an independent check of the mapping rules."""
+        fm = _flax_model(head_type)
+        ours = set(export_torch_state_dict(fm.params))
+        theirs = set(_np_state_dict(_torch_model(head_type)))
+        live = {k for k in theirs if not _is_ignored_key(k)}
+        assert ours == live, (
+            f"only-ours={sorted(ours - live)[:10]} "
+            f"only-upstream={sorted(live - ours)[:10]}"
+        )
+
+    def test_strict_import_accepts_real_layout(self):
+        fm = _flax_model("dpt")
+        state = _np_state_dict(_torch_model("dpt"))
+        # strict=True must pass with the full upstream dict including the
+        # dead keys (mask_token, refinenet4.resConfUnit1)
+        import_torch_state_dict(fm.params, state, strict=True)
+
+    def test_strict_rejects_unknown_and_missing(self):
+        fm = _flax_model("linear")
+        state = _np_state_dict(_torch_model("linear"))
+        bad = dict(state)
+        bad["downstream_head1.nonexistent.weight"] = np.zeros((1,), np.float32)
+        with pytest.raises(KeyError):
+            import_torch_state_dict(fm.params, bad, strict=True)
+        short = dict(state)
+        del short["dec_norm.weight"]
+        with pytest.raises(KeyError):
+            import_torch_state_dict(fm.params, short, strict=True)
+
+    def test_upstream_shapes(self):
+        """Spot-check torch-side layouts the mapping must produce."""
+        fm = _flax_model("dpt")
+        s = export_torch_state_dict(fm.params)
+        assert s["patch_embed.proj.weight"].shape == (64, 3, 16, 16)
+        assert s["enc_blocks.0.attn.qkv.weight"].shape == (192, 64)
+        assert s["decoder_embed.weight"].shape == (48, 64)
+        assert s["downstream_head1.dpt.act_postprocess.0.0.weight"].shape == (
+            96, 64, 1, 1)
+        assert s["downstream_head1.dpt.act_postprocess.0.1.weight"].shape == (
+            96, 96, 4, 4)  # ConvTranspose2d [in, out, kh, kw]
+        assert s["downstream_head1.dpt.scratch.layer1_rn.weight"].shape == (
+            256, 96, 3, 3)
+        assert "downstream_head1.dpt.scratch.layer1_rn.bias" not in s
+        assert s["downstream_head1.dpt.head.4.weight"].shape == (4, 32, 1, 1)
+        idim = 64 + 48
+        assert s["downstream_head1.head_local_features.fc1.weight"].shape == (
+            4 * idim, idim)
+        assert s["downstream_head1.head_local_features.fc2.weight"].shape == (
+            25 * 256, 4 * idim)
+
+
+class TestNumericParity:
+    @pytest.mark.parametrize("head_type", ["dpt", "linear"])
+    def test_two_view_outputs_match(self, head_type):
+        """Load the twin's weights strict into flax; outputs must agree."""
+        tm = _torch_model(head_type)
+        fm = _flax_model(head_type)
+        fm.params = import_torch_state_dict(
+            fm.params, _np_state_dict(tm), strict=True
+        )
+
+        rng = np.random.default_rng(3)
+        img1 = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+        img2 = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+
+        with torch.no_grad():
+            t1, t2 = tm(
+                torch.from_numpy(img1.transpose(0, 3, 1, 2)),
+                torch.from_numpy(img2.transpose(0, 3, 1, 2)),
+            )
+        f1, f2 = fm.reconstruct(jnp.asarray(img1), jnp.asarray(img2))
+
+        def assert_pts_close(a, b, tag):
+            # per-point-norm scaling: pts3d = unit * expm1(d) amplifies
+            # ~1e-5 fp32 drift multiplicatively at large d, so a tiny
+            # component of a huge point legitimately moves more than
+            # rtol*|component|; the right scale is the point magnitude.
+            scale = np.linalg.norm(b, axis=-1, keepdims=True)
+            err = np.abs(a - b)
+            bound = 2e-4 + 1e-3 * scale
+            assert np.all(err <= bound), (
+                f"{tag} pts3d: {np.sum(err > bound)} violations, "
+                f"worst ratio {(err / np.maximum(bound, 1e-30)).max():.2f}"
+            )
+
+        for tout, fout, tag in ((t1, f1, "v1"), (t2, f2, "v2")):
+            assert_pts_close(
+                np.asarray(fout["pts3d"])[0], tout["pts3d"][0].numpy(), tag)
+            np.testing.assert_allclose(
+                np.asarray(fout["conf"])[0], tout["conf"][0].numpy(),
+                atol=2e-4, rtol=1e-3, err_msg=f"{tag} conf")
+            np.testing.assert_allclose(
+                np.asarray(fout["desc"])[0], tout["desc"][0].numpy(),
+                atol=2e-4, rtol=1e-3, err_msg=f"{tag} desc")
+            np.testing.assert_allclose(
+                np.asarray(fout["desc_conf"])[0],
+                tout["desc_conf"][0].numpy(),
+                atol=2e-4, rtol=1e-3, err_msg=f"{tag} desc_conf")
+
+    def test_encoder_features_match(self):
+        """Isolates encoder fidelity (patch embed + RoPE blocks + norm)."""
+        tm = _torch_model("linear")
+        fm = _flax_model("linear")
+        fm.params = import_torch_state_dict(
+            fm.params, _np_state_dict(tm), strict=True
+        )
+        rng = np.random.default_rng(4)
+        img = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            tf, _ = tm._encode_image(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+        ff, _ = fm.encode(jnp.asarray(img))
+        np.testing.assert_allclose(
+            np.asarray(ff)[0], tf[0].numpy(), atol=1e-4, rtol=1e-3
+        )
+
+
+class TestLayerFixtures:
+    def test_pixel_shuffle_matches_torch(self):
+        from mast3r_slam_tpu.models.heads import pixel_shuffle
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 3, 5, 4 * 4 * 6)).astype(np.float32)
+        ours = np.asarray(pixel_shuffle(jnp.asarray(x), 4))
+        # torch pixel_shuffle wants [B, C*r^2, h, w]
+        tin = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        ref = F.pixel_shuffle(tin, 4).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    def test_resize_ac_matches_torch(self):
+        from mast3r_slam_tpu.models.heads import resize_bilinear_ac
+
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(2, 7, 9, 5)).astype(np.float32)
+        for oh, ow in ((14, 18), (13, 20), (7, 9)):
+            ours = np.asarray(resize_bilinear_ac(jnp.asarray(x), oh, ow))
+            ref = (
+                F.interpolate(
+                    torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                    size=(oh, ow), mode="bilinear", align_corners=True,
+                )
+                .permute(0, 2, 3, 1)
+                .numpy()
+            )
+            np.testing.assert_allclose(ours, ref, atol=1e-5, err_msg=f"{oh}x{ow}")
+
+    def test_rope_matches_croco(self):
+        from mast3r_slam_tpu.models.vit import apply_rope, rope_2d_angles
+
+        rng = np.random.default_rng(2)
+        B, H, S, D = 2, 3, 12, 16
+        hp, wp = 3, 4
+        x = rng.normal(size=(B, H, S, D)).astype(np.float32)
+        pos_yx = torch.cartesian_prod(torch.arange(hp), torch.arange(wp))
+        pos_yx = pos_yx[None].expand(B, -1, -1).long()
+        ref = RoPE2D(100.0)(torch.from_numpy(x), pos_yx).numpy()
+
+        pos_xy = np.stack(
+            [pos_yx.numpy()[..., 1], pos_yx.numpy()[..., 0]], axis=-1
+        )  # ours stores (x, y)
+        cos, sin = rope_2d_angles(jnp.asarray(pos_xy), D, 100.0)
+        ours = np.asarray(apply_rope(jnp.asarray(x), cos, sin))
+        np.testing.assert_allclose(ours, ref, atol=1e-5)

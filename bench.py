@@ -181,15 +181,23 @@ def main() -> int:
     # ---- fully-orchestrated SLAM FPS (secondary, relay-bound) -------------
     from mast3r_slam_tpu.dataloader import Dataset
 
+    # Frames precomputed: __getitem__ must cost what a decoded dataset frame
+    # costs (~memcpy), not a 590k-float RNG draw — on this 1-core host that
+    # would serialize with the tracking loop under the GIL and measure the
+    # synthetic generator, not the pipeline.
+    frames_u8 = [
+        (
+            np.clip(base + rng.normal(0, 0.005, base.shape), 0, 1) * 255
+        ).astype(np.uint8)
+        for _ in range(8)
+    ]
+
     class Synthetic(Dataset):
         def __len__(self):
             return 20
 
         def __getitem__(self, idx):
-            img = np.clip(
-                base + rng.normal(0, 0.005, base.shape).astype(np.float32), 0, 1
-            )
-            return float(idx), (img * 255).astype(np.uint8)
+            return float(idx), frames_u8[idx % len(frames_u8)]
 
     # Steady state only: the first frames absorb the remaining compiles
     # (warm-start-idx trace variant etc.), measured via per-frame callback.

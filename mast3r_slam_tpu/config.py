@@ -157,6 +157,10 @@ class RuntimeConfig:
     keyframe_capacity: int = 512  # preallocated HBM keyframe arena slots
     prefetch_depth: int = 2  # host frame-decode lookahead
     donate_buffers: bool = True
+    # Pipelined tracking: dispatch frame i+1 before syncing frame i's stats
+    # (keyframe decisions lag one frame; deviations re-dispatch). Turns the
+    # per-frame host round trip into overlap with device compute.
+    pipeline: bool = True
     # periodic SLAM-state snapshots (0 = off); long runs resume via
     # SLAM.load_state (SURVEY §5.4 — the reference had no checkpointing)
     snapshot_every: int = 0

@@ -92,43 +92,113 @@ class SLAM:
         loader = PrefetchLoader(dataset, img_size=self.resolution)
 
         self.timestamps, self.poses = [], []
-        t_start = time.perf_counter()
+        self._callback = callback
+        self._n_frames_total = n_frames
+        self._n_done = 0
+        self._t_start = time.perf_counter()
+        self._last_T_WC = None
+
+        # Pipelined tracking (runtime.pipeline): frame i+1 is DISPATCHED
+        # (one fused device program, no sync) before frame i's scalar stats
+        # are fetched, so the per-frame host round trip overlaps device
+        # compute. Keyframe/reloc decisions lag one frame; when frame i
+        # deviates (new KF, reloc, skip), the in-flight dispatch for i+1 is
+        # simply redone against the corrected state. The reference
+        # serialized everything (slam.py:124-153); upstream MASt3R-SLAM's
+        # async frontend/backend split tolerates exactly this one-frame lag.
+        pending: Optional[tuple] = None
 
         for i, (timestamp, processed) in enumerate(loader(max_frames=n_frames)):
-            img01 = (processed["img"][0] + 1.0) * 0.5  # [-1,1] -> [0,1]
+            # Ship the uint8 crop and normalize ON DEVICE: 4x fewer bytes on
+            # the host->device link than the float32 image, which is the
+            # orchestrated loop's bandwidth bottleneck over a relay.
+            img_u8 = processed["unnormalized_img"]
             if i == 0:
-                h, w = img01.shape[:2]
+                h, w = img_u8.shape[:2]
                 self._initialize_state(h, w)
-            frame = create_frame(i, jnp.asarray(img01))
+            frame = create_frame(i, jnp.asarray(img_u8))
 
-            if self.state.mode == Mode.INIT:
-                self._process_init(frame)
-            elif self.state.mode == Mode.TRACKING:
-                self._process_tracking(frame)
-            elif self.state.mode == Mode.RELOC:
-                self._process_reloc(frame)
+            handle = None
+            use_pipeline = (
+                self.config.runtime.pipeline and self.tracker.can_pipeline
+            )
+            if use_pipeline and self.state.mode == Mode.TRACKING:
+                handle = self.tracker.dispatch(frame, T_init=self._last_T_WC)
+                epoch = (self.state.mode, len(self.keyframes))
 
-            self.timestamps.append(timestamp)
-            # keep poses device-side; exporting converts once at the end
-            self.poses.append(frame.T_WC)
+            if pending is not None:
+                self._finish_frame(*pending)
+                pending = None
+                if handle is not None and epoch != (
+                    self.state.mode, len(self.keyframes)
+                ):
+                    # speculation deviated (KF appended / mode change /
+                    # backend pose update): redo against corrected state
+                    handle = self.tracker.dispatch(
+                        frame, T_init=self._last_T_WC
+                    )
 
-            if callback:
-                callback(frame, self.keyframes)
-            self._run_backend()
+            if handle is not None:
+                pending = (frame, timestamp, handle)
+            else:
+                self._step_sync(frame, timestamp)
 
-            if (i + 1) % 10 == 0:
-                dt = time.perf_counter() - t_start
-                print(
-                    f"Processed {i + 1}/{n_frames} frames, "
-                    f"{len(self.keyframes)} keyframes, {(i + 1) / dt:.2f} FPS"
-                )
-
-            snap_every = self.config.runtime.snapshot_every
-            if snap_every and (i + 1) % snap_every == 0:
-                self.save_state(self.config.runtime.snapshot_path)
+        if pending is not None:
+            self._finish_frame(*pending)
 
         print(f"Done! {len(self.keyframes)} keyframes, {len(self.poses)} poses")
         return self._get_results()
+
+    def _step_sync(self, frame: Frame, timestamp: float) -> None:
+        """Classic synchronous per-frame step (INIT / RELOC / no-pipeline)."""
+        if self.state.mode == Mode.INIT:
+            self._process_init(frame)
+        elif self.state.mode == Mode.TRACKING:
+            self._process_tracking(frame)
+        elif self.state.mode == Mode.RELOC:
+            self._process_reloc(frame)
+        self._bookkeep(frame, timestamp)
+
+    def _finish_frame(self, frame: Frame, timestamp: float, handle) -> None:
+        """Resolve a pipelined dispatch: ONE stats sync, then mode logic."""
+        new_kf, _info, try_reloc = self.tracker.resolve(handle)
+        if try_reloc:
+            self.state.mode = Mode.RELOC
+            self._process_reloc(frame)
+        elif new_kf:
+            self._promote_keyframe(frame)
+        self._bookkeep(frame, timestamp)
+
+    def _promote_keyframe(self, frame: Frame) -> None:
+        """New-keyframe path shared by sync and pipelined tracking. The
+        frame's encoder tokens are already cached (fused program output), so
+        mono inference is a single decode dispatch."""
+        X, C, feat, pos = mast3r_inference_mono(self.model, frame)
+        frame.X_canon, frame.C, frame.feat, frame.pos = X, C, feat, pos
+        frame.N = frame.N_updates = 1
+        kf_idx = self.keyframes.append(frame)
+        self.retrieval_db.update(frame, add_after_query=True)
+        self.state.queue_global_optimization(kf_idx)
+
+    def _bookkeep(self, frame: Frame, timestamp: float) -> None:
+        self.timestamps.append(timestamp)
+        # keep poses device-side; exporting converts once at the end
+        self.poses.append(frame.T_WC)
+        self._last_T_WC = frame.T_WC
+        if self._callback:
+            self._callback(frame, self.keyframes)
+        self._run_backend()
+
+        self._n_done += 1
+        if self._n_done % 10 == 0:
+            dt = time.perf_counter() - self._t_start
+            print(
+                f"Processed {self._n_done}/{self._n_frames_total} frames, "
+                f"{len(self.keyframes)} keyframes, {self._n_done / dt:.2f} FPS"
+            )
+        snap_every = self.config.runtime.snapshot_every
+        if snap_every and self._n_done % snap_every == 0:
+            self.save_state(self.config.runtime.snapshot_path)
 
     def _initialize_state(self, h: int, w: int) -> None:
         # Decode resolution = the ACTUAL processed frame shape (preprocess
@@ -210,12 +280,7 @@ class SLAM:
             self._process_reloc(frame)
             return
         if new_kf:
-            X, C, feat, pos = mast3r_inference_mono(self.model, frame)
-            frame.X_canon, frame.C, frame.feat, frame.pos = X, C, feat, pos
-            frame.N = frame.N_updates = 1
-            kf_idx = self.keyframes.append(frame)
-            self.retrieval_db.update(frame, add_after_query=True)
-            self.state.queue_global_optimization(kf_idx)
+            self._promote_keyframe(frame)
 
     def _process_reloc(self, frame: Frame) -> None:
         """(parity: slam.py:216-290 — retrieval, tentative KF, rollback)"""

@@ -125,6 +125,125 @@ _ELEMENTWISE_FUSION = (
 )
 
 
+def _make_fused_track2(model, cfg, filtering_mode: str, img_downsample: int = 1):
+    """Pipeline-grade per-frame program: ENCODE + decode + dense matching +
+    GN pose + keyframe fusion + statistics in ONE jit.
+
+    v2 differences from `_make_fused_track`:
+    * the encoder runs inside (input is the raw [0,1] frame image), so a
+      tracked frame is ONE dispatch total;
+    * the frame is always fresh (SLAM never re-tracks a frame), so frame
+      pointmap state is produced, not consumed;
+    * the keyframe fusion count `kN` is a device scalar in/out, letting the
+      SLAM loop chain consecutive frames device-side without a host sync;
+    * encoder tokens are returned so a frame promoted to keyframe needs no
+      re-encode.
+    """
+    from mast3r_slam_tpu.matching import match
+    from mast3r_slam_tpu.models.mast3r import MASt3RNet
+
+    cfg_key = (
+        cfg.C_conf,
+        cfg.Q_conf,
+        cfg.min_match_frac,
+        cfg.max_iters,
+        cfg.huber,
+        cfg.sigma_ray,
+        cfg.sigma_dist,
+        cfg.rel_error,
+        cfg.delta_norm,
+        cfg.match_frac_thresh,
+    )
+    out_hw = model._out_hw
+    f = max(1, img_downsample)
+
+    def program(
+        params,
+        img_f,  # [H, W, 3] in [0, 1]
+        feat_k,
+        pos_k,
+        idx_init,  # [1, N] int32 or None
+        kX,
+        kC,
+        kN,  # [] device scalar fusion count
+        T_WCf,  # pose init (previous frame's pose)
+        T_WCk,
+    ):
+        feat_f, pos_f = model.net.apply(
+            params, img_f[None] * 2.0 - 1.0, method=MASt3RNet.encode
+        )
+        out_f, out_k = model.net.apply(
+            params,
+            feat_f,
+            pos_f,
+            feat_k[None],
+            pos_k[None],
+            out_hw,
+            method=MASt3RNet.decode,
+        )
+
+        def sub(a):  # dataset.img_downsample stride slicing (static)
+            return a[:, ::f, ::f] if f > 1 else a
+
+        Xs_f, Cs_f, Ds_f, Qs_f = (
+            sub(out_f["pts3d"]), sub(out_f["conf"]), sub(out_f["desc"]),
+            sub(out_f["desc_conf"]),
+        )
+        Xs_k, Cs_k, Ds_k, Qs_k = (
+            sub(out_k["pts3d"]), sub(out_k["conf"]), sub(out_k["desc"]),
+            sub(out_k["desc_conf"]),
+        )
+        h, w = Xs_f.shape[1:3]
+        n = h * w
+        Xff = Xs_f.reshape(1, n, 3)
+        Cff = Cs_f.reshape(1, n, 1)
+        Qff = Qs_f.reshape(1, n, 1)
+        Xkf = Xs_k.reshape(1, n, 3)
+        Ckf = Cs_k.reshape(1, n, 1)
+        Qkf = Qs_k.reshape(1, n, 1)
+
+        idx, valid = match(Xs_f, Xs_k, Ds_f, Ds_k, idx_init)
+
+        core = _track_core_rays(
+            idx[0],
+            valid[0],
+            Qff[0],
+            Qkf[0],
+            Xff[0],  # fresh frame: canonical state IS the model output
+            Cff[0],
+            kX,
+            kC / jnp.maximum(kN, 1.0),
+            Xkf[0],
+            T_WCf,
+            T_WCk,
+            cfg_key,
+        )
+        from mast3r_slam_tpu.frame import fuse_pointmap_masked
+
+        kX2, kC2, kN2 = fuse_pointmap_masked(
+            kX, kC, kN, core["Xkk"], Ckf[0], filtering_mode
+        )
+        stats5 = jnp.concatenate(
+            [core["stats"], jnp.ones((1,)), kN2[None]], axis=0
+        )
+        return dict(
+            idx=idx,
+            stats=stats5,
+            T_WCf=core["T_WCf"],
+            frame_X=Xff[0],
+            frame_C=Cff[0],
+            kf_X=kX2,
+            kf_C=kC2,
+            kN=kN2,
+            Qkf=Qkf,
+            Qff=Qff,
+            feat=feat_f[0],
+            pos=pos_f[0],
+        )
+
+    return jax.jit(program)
+
+
 def _make_fused_track(model, cfg, filtering_mode: str):
     """Build THE per-frame program: decode-from-cache + dense matching +
     pointmap fusion + GN pose + keyframe fusion + statistics, all in ONE
@@ -236,9 +355,12 @@ class FrameTracker:
         cfg = get_config()
         self.cfg = cfg.tracking
         self.use_calib = cfg.use_calib
+        self._img_downsample = max(1, cfg.dataset.img_downsample)
         self.idx_f2k: Optional[jax.Array] = None
         self._fused = None
+        self._fused2 = None
         self._kf_cache: Optional[dict] = None
+        self._spec: Optional[dict] = None  # speculative device-chained state
         self._use_fused = (
             model is not None
             and hasattr(model, "net")
@@ -246,8 +368,117 @@ class FrameTracker:
             and self.cfg.filtering_mode in _ELEMENTWISE_FUSION
         )
 
+    @property
+    def can_pipeline(self) -> bool:
+        return self._use_fused
+
     def reset_idx_f2k(self) -> None:
         self.idx_f2k = None
+
+    # ------------------------------------------------- pipelined dispatch/resolve
+
+    def dispatch(self, frame: Frame, T_init: Optional[jax.Array] = None):
+        """Speculatively dispatch the one-program tracking step for `frame`
+        against the current keyframe, chaining device futures from the
+        previous (possibly unresolved) dispatch. NO host sync happens here.
+
+        Returns an opaque handle for `resolve()`, or None if there is no
+        keyframe yet. Handles must be resolved in dispatch order; when a
+        resolve deviates from the speculation (new keyframe / reloc / skip),
+        the caller re-dispatches any in-flight frame.
+        """
+        kf_idx = self.keyframes.last_index()
+        if kf_idx is None:
+            return None
+        if self._fused2 is None:
+            self._fused2 = _make_fused_track2(
+                self.model, self.cfg, self.cfg.filtering_mode,
+                self._img_downsample,
+            )
+
+        spec = self._spec
+        if spec is None or spec["kf_idx"] != kf_idx:
+            kf = self._kf_state(kf_idx)
+            spec = dict(
+                kf_idx=kf_idx,
+                feat=kf["feat"],
+                pos=kf["pos"],
+                X=kf["X"],
+                C=kf["C"],
+                N=jnp.asarray(kf["N"], jnp.float32),
+                T=kf["T"],
+                T_prev=None,
+            )
+        T_WCf = spec["T_prev"]
+        if T_WCf is None:
+            T_WCf = T_init if T_init is not None else frame.T_WC
+
+        out = self._fused2(
+            self.model.params,
+            frame.img,
+            spec["feat"],
+            spec["pos"],
+            self.idx_f2k,
+            spec["X"],
+            spec["C"],
+            spec["N"],
+            T_WCf,
+            spec["T"],
+        )
+        self.idx_f2k = out["idx"]
+        # Optimistic chain: assume the frame tracked fine and did not become
+        # a keyframe. resolve() corrects the record if not.
+        self._spec = dict(
+            kf_idx=kf_idx,
+            feat=spec["feat"],
+            pos=spec["pos"],
+            X=out["kf_X"],
+            C=out["kf_C"],
+            N=out["kN"],
+            T=spec["T"],
+            T_prev=out["T_WCf"],
+        )
+        return dict(frame=frame, out=out, kf_idx=kf_idx)
+
+    def resolve(self, handle) -> tuple[bool, list, bool]:
+        """Sync the handle's scalar stats (the frame's ONE host round trip)
+        and commit results. Same return contract as track()."""
+        out, frame, kf_idx = handle["out"], handle["frame"], handle["kf_idx"]
+        stats = np.asarray(out["stats"])
+        match_frac, match_frac_k, unique_frac_f, _, kf_N = (
+            float(x) for x in stats
+        )
+
+        frame.feat, frame.pos = out["feat"], out["pos"]
+        frame.X_canon, frame.C = out["frame_X"], out["frame_C"]
+        frame.N = frame.N_updates = 1
+
+        c = self.cfg
+        if match_frac < c.min_match_frac:
+            print(f"Skipped frame {frame.frame_id}")
+            self._spec = None
+            self.reset_idx_f2k()
+            return False, [], True
+
+        frame.T_WC = out["T_WCf"]
+        self.keyframes.write_pointmap(kf_idx, out["kf_X"], out["kf_C"], kf_N)
+        # invalidate the slice cache: the pipeline chains through _spec, and
+        # any later sync-path rebuild pulls the fresh arena slots lazily
+        self._kf_cache = None
+
+        new_kf = min(match_frac_k, unique_frac_f) < c.match_frac_thresh
+        if new_kf:
+            self.reset_idx_f2k()
+            self._spec = None  # next dispatch rebuilds against the new KF
+        match_info = [
+            out["kf_X"],
+            out["kf_C"] / max(kf_N, 1.0),
+            frame.X_canon,
+            frame.C,
+            out["Qkf"],
+            out["Qff"],
+        ]
+        return new_kf, match_info, False
 
     def track(self, frame: Frame, mast3r_match_fn: Callable):
         """Returns (new_kf: bool, match_info: list, try_reloc: bool)."""

@@ -18,9 +18,22 @@ matching.py:370-390), this runs as ONE fused XLA program:
   per-point frozen mask so converged points simply stop moving),
 * everything stays on device; callers jit the enclosing tracking step.
 
-A Pallas variant (VMEM-resident ray image + per-tile gather) is provided in
-`ops/iter_proj_pallas.py` for large-N cases; both implementations are parity
-tested against each other and against a numpy oracle.
+Why there is NO hand-written Pallas variant of this kernel
+----------------------------------------------------------
+iter_proj is a per-point random-access gather chase — the access pattern the
+reference's Metal kernel (one GPU thread per point, arbitrary VRAM loads) is
+built for and the TPU vector unit is not: Mosaic's `tpu.dynamic_gather`
+lowers `take_along_axis` only within a single (8, 128) register tile
+(probed on this toolchain: every image-scale configuration fails to
+compile), so a Pallas kernel cannot express an image-wide per-point gather
+at all. The TPU-native answer is not a faster gather but a different
+algorithm: `ops/dense_match.py` reformulates dense correspondence as
+windowed cost volumes built from contiguous shifted reads + MXU matmuls
+(no gather anywhere) and is the shipped default matcher (configs/tum.yaml,
+`matching.method: dense`); its trajectory-accuracy equivalence to this
+iterative matcher is covered end-to-end in tests/test_system_oracle.py.
+This XLA implementation remains for reference parity (`method: iterative`)
+and as the oracle twin.
 """
 
 from __future__ import annotations
@@ -82,19 +95,19 @@ def bilinear_sample(img: jax.Array, coords: jax.Array) -> jax.Array:
 
     flat = img.reshape(b, h * w, c)
 
-    def gather(iy, ix):
-        return jnp.take_along_axis(flat, (iy * w + ix)[..., None], axis=1)
-
-    v00 = gather(y0, x0)
-    v01 = gather(y1, x0)
-    v10 = gather(y0, x1)
-    v11 = gather(y1, x1)
-    return (
-        (1 - fx) * (1 - fy) * v00
-        + (1 - fx) * fy * v01
-        + fx * (1 - fy) * v10
-        + fx * fy * v11
-    )
+    # ONE batched gather for all four corners (4x fewer HBM gather passes
+    # than the naive per-corner take).
+    n = x0.shape[-1]
+    idx4 = jnp.stack(
+        [y0 * w + x0, y1 * w + x0, y0 * w + x1, y1 * w + x1], axis=-1
+    ).reshape(b, 4 * n)
+    v = jnp.take_along_axis(flat, idx4[..., None], axis=1).reshape(b, n, 4, c)
+    w00 = (1 - fx) * (1 - fy)
+    w01 = (1 - fx) * fy
+    w10 = fx * (1 - fy)
+    w11 = fx * fy
+    wts = jnp.stack([w00, w01, w10, w11], axis=-2)  # [B, N, 4, 1]
+    return jnp.sum(v * wts, axis=-2)
 
 
 @partial(jax.jit, static_argnames=("max_iter",))

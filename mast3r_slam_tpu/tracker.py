@@ -117,6 +117,115 @@ def _track_core_rays(
     )
 
 
+@partial(jax.jit, static_argnames=("img_size", "cfg_key"))
+def _track_core_calib(
+    idx_f2k: jax.Array,  # [N]
+    valid_match_k: jax.Array,  # [N, 1]
+    Qff: jax.Array,  # [N, 1]
+    Qkf: jax.Array,  # [N, 1]
+    Xf_canon: jax.Array,  # [N, 3]
+    Cf_avg: jax.Array,  # [N, 1]
+    Xk_canon: jax.Array,  # [N, 3]
+    Ck_avg: jax.Array,  # [N, 1]
+    Xkf: jax.Array,  # [N, 3]
+    T_WCf: jax.Array,  # [8]
+    T_WCk: jax.Array,  # [8]
+    K: jax.Array,  # [4] or [3,3] intrinsics
+    img_size: tuple,  # static (h, w) of the pointmap grid
+    cfg_key: tuple,
+):
+    """Fused tracking step, calibrated pixel+log-depth objective (parity:
+    reference tracker.py:326-406). Same contract as `_track_core_rays`."""
+    (
+        C_conf,
+        Q_conf,
+        min_match_frac,
+        max_iters,
+        huber_k,
+        sigma_pixel,
+        sigma_depth,
+        rel_error,
+        delta_norm,
+        match_frac_thresh,
+        pixel_border,
+        depth_eps,
+    ) = cfg_key
+    n = idx_f2k.shape[0]
+
+    Qk = jnp.sqrt(
+        jnp.take_along_axis(Qff, idx_f2k[:, None], axis=0) * Qkf
+    )  # [N, 1]
+    Cf_g = jnp.take_along_axis(Cf_avg, idx_f2k[:, None], axis=0)
+    valid_opt = (
+        valid_match_k & (Cf_g > C_conf) & (Ck_avg > C_conf) & (Qk > Q_conf)
+    )
+    valid_kf = valid_match_k & (Qk > Q_conf)
+    match_frac = jnp.mean(valid_opt.astype(jnp.float32))
+
+    # Constrain both pointmaps to their camera rays (reference
+    # geometry.py:273-302 usage at tracker.py:334-336).
+    Xf_c = constrain_points_to_ray(img_size, Xf_canon[None], K)[0]
+    Xk_c = constrain_points_to_ray(img_size, Xk_canon[None], K)[0]
+    uv = get_pixel_coords(1, img_size, dtype=Xf_c.dtype).reshape(-1, 2)
+    meas_k = jnp.concatenate(
+        [uv, jnp.log(jnp.maximum(Xk_c[:, 2:3], 1e-10))], -1
+    )
+    valid_meas = Xk_c[:, 2:3] > depth_eps
+
+    Xf_g = jnp.take_along_axis(Xf_c, idx_f2k[:, None], axis=0)
+    w = valid_opt.astype(jnp.float32) * jnp.sqrt(Qk)
+    sqrt_info = jnp.concatenate(
+        [jnp.broadcast_to(w / sigma_pixel, (n, 2)), w / sigma_depth], -1
+    )
+    T_CkCf_init = lie.sim3_mul(lie.sim3_inv(T_WCk), T_WCf)
+    params = GNParams(
+        sigma_pixel=sigma_pixel,
+        sigma_depth=sigma_depth,
+        huber_k=huber_k,
+        max_iter=max_iters,
+        delta_thresh=delta_norm,
+        pixel_border=pixel_border,
+        z_eps=depth_eps,
+    )
+    T_CkCf, cost = gauss_newton_pose_calib(
+        T_CkCf_init, Xf_g, meas_k, sqrt_info, valid_meas, K, img_size, params
+    )
+    T_WCf_new = lie.sim3_mul(T_WCk, T_CkCf)
+    Xkk = lie.sim3_act(T_CkCf[None], Xkf)
+
+    match_frac_k = jnp.mean(valid_kf.astype(jnp.float32))
+    hit = jnp.zeros((n,), jnp.float32).at[idx_f2k].max(
+        valid_match_k[:, 0].astype(jnp.float32)
+    )
+    unique_frac_f = jnp.mean(hit)
+
+    return dict(
+        Qk=Qk,
+        T_WCf=T_WCf_new,
+        T_CkCf=T_CkCf,
+        Xkk=Xkk,
+        cost=cost,
+        stats=jnp.stack([match_frac, match_frac_k, unique_frac_f]),
+    )
+
+
+def _calib_cfg_key(cfg) -> tuple:
+    return (
+        cfg.C_conf,
+        cfg.Q_conf,
+        cfg.min_match_frac,
+        cfg.max_iters,
+        cfg.huber,
+        cfg.sigma_pixel,
+        cfg.sigma_depth,
+        cfg.rel_error,
+        cfg.delta_norm,
+        cfg.match_frac_thresh,
+        cfg.pixel_border,
+        cfg.depth_eps,
+    )
+
+
 _ELEMENTWISE_FUSION = (
     "recent",
     "indep_conf",
@@ -125,7 +234,10 @@ _ELEMENTWISE_FUSION = (
 )
 
 
-def _make_fused_track2(model, cfg, filtering_mode: str, img_downsample: int = 1):
+def _make_fused_track2(
+    model, cfg, filtering_mode: str, img_downsample: int = 1,
+    use_calib: bool = False,
+):
     """Pipeline-grade per-frame program: ENCODE + decode + dense matching +
     GN pose + keyframe fusion + statistics in ONE jit.
 
@@ -142,18 +254,21 @@ def _make_fused_track2(model, cfg, filtering_mode: str, img_downsample: int = 1)
     from mast3r_slam_tpu.matching import match
     from mast3r_slam_tpu.models.mast3r import MASt3RNet
 
-    cfg_key = (
-        cfg.C_conf,
-        cfg.Q_conf,
-        cfg.min_match_frac,
-        cfg.max_iters,
-        cfg.huber,
-        cfg.sigma_ray,
-        cfg.sigma_dist,
-        cfg.rel_error,
-        cfg.delta_norm,
-        cfg.match_frac_thresh,
-    )
+    if use_calib:
+        cfg_key = _calib_cfg_key(cfg)
+    else:
+        cfg_key = (
+            cfg.C_conf,
+            cfg.Q_conf,
+            cfg.min_match_frac,
+            cfg.max_iters,
+            cfg.huber,
+            cfg.sigma_ray,
+            cfg.sigma_dist,
+            cfg.rel_error,
+            cfg.delta_norm,
+            cfg.match_frac_thresh,
+        )
     out_hw = model._out_hw
     f = max(1, img_downsample)
 
@@ -168,6 +283,7 @@ def _make_fused_track2(model, cfg, filtering_mode: str, img_downsample: int = 1)
         kN,  # [] device scalar fusion count
         T_WCf,  # pose init (previous frame's pose)
         T_WCk,
+        K=None,  # [4]/[3,3] intrinsics (calib mode only)
     ):
         feat_f, pos_f = model.net.apply(
             params, img_f[None] * 2.0 - 1.0, method=MASt3RNet.encode
@@ -204,7 +320,7 @@ def _make_fused_track2(model, cfg, filtering_mode: str, img_downsample: int = 1)
 
         idx, valid = match(Xs_f, Xs_k, Ds_f, Ds_k, idx_init)
 
-        core = _track_core_rays(
+        core_args = (
             idx[0],
             valid[0],
             Qff[0],
@@ -216,8 +332,11 @@ def _make_fused_track2(model, cfg, filtering_mode: str, img_downsample: int = 1)
             Xkf[0],
             T_WCf,
             T_WCk,
-            cfg_key,
         )
+        if use_calib:
+            core = _track_core_calib(*core_args, K, (h, w), cfg_key)
+        else:
+            core = _track_core_rays(*core_args, cfg_key)
         from mast3r_slam_tpu.frame import fuse_pointmap_masked
 
         kX2, kC2, kN2 = fuse_pointmap_masked(
@@ -244,7 +363,7 @@ def _make_fused_track2(model, cfg, filtering_mode: str, img_downsample: int = 1)
     return jax.jit(program)
 
 
-def _make_fused_track(model, cfg, filtering_mode: str):
+def _make_fused_track(model, cfg, filtering_mode: str, use_calib: bool = False):
     """Build THE per-frame program: decode-from-cache + dense matching +
     pointmap fusion + GN pose + keyframe fusion + statistics, all in ONE
     jit. Over a high-latency host<->device link, per-frame cost is then one
@@ -254,18 +373,21 @@ def _make_fused_track(model, cfg, filtering_mode: str):
     from mast3r_slam_tpu.matching import match
     from mast3r_slam_tpu.models.mast3r import MASt3RNet
 
-    cfg_key = (
-        cfg.C_conf,
-        cfg.Q_conf,
-        cfg.min_match_frac,
-        cfg.max_iters,
-        cfg.huber,
-        cfg.sigma_ray,
-        cfg.sigma_dist,
-        cfg.rel_error,
-        cfg.delta_norm,
-        cfg.match_frac_thresh,
-    )
+    if use_calib:
+        cfg_key = _calib_cfg_key(cfg)
+    else:
+        cfg_key = (
+            cfg.C_conf,
+            cfg.Q_conf,
+            cfg.min_match_frac,
+            cfg.max_iters,
+            cfg.huber,
+            cfg.sigma_ray,
+            cfg.sigma_dist,
+            cfg.rel_error,
+            cfg.delta_norm,
+            cfg.match_frac_thresh,
+        )
     out_hw = model._out_hw
 
     def program(
@@ -283,6 +405,7 @@ def _make_fused_track(model, cfg, filtering_mode: str):
         kN,  # keyframe canonical state
         T_WCf,
         T_WCk,
+        K=None,  # intrinsics (calib mode only)
     ):
         out_f, out_k = model.net.apply(
             params,
@@ -309,7 +432,7 @@ def _make_fused_track(model, cfg, filtering_mode: str):
         fX2, fC2, fN2 = fuse_pointmap_masked(
             fX, fC, fN, Xff[0], Cff[0], filtering_mode
         )
-        core = _track_core_rays(
+        core_args = (
             idx[0],
             valid[0],
             Qff[0],
@@ -321,8 +444,11 @@ def _make_fused_track(model, cfg, filtering_mode: str):
             Xkf[0],
             T_WCf,
             T_WCk,
-            cfg_key,
         )
+        if use_calib:
+            core = _track_core_calib(*core_args, K, (h, w), cfg_key)
+        else:
+            core = _track_core_rays(*core_args, cfg_key)
         kX2, kC2, kN2 = fuse_pointmap_masked(
             kX, kC, kN, core["Xkk"], Ckf[0], filtering_mode
         )
@@ -364,13 +490,18 @@ class FrameTracker:
         self._use_fused = (
             model is not None
             and hasattr(model, "net")
-            and not self.use_calib
             and self.cfg.filtering_mode in _ELEMENTWISE_FUSION
         )
 
     @property
     def can_pipeline(self) -> bool:
         return self._use_fused
+
+    def _calib_live(self) -> bool:
+        """Calibrated objective active: top-level use_calib AND intrinsics
+        installed (reference falls back to rays when K is missing,
+        tracker.py:97+326)."""
+        return self.use_calib and self.keyframes.K is not None
 
     def reset_idx_f2k(self) -> None:
         self.idx_f2k = None
@@ -393,7 +524,7 @@ class FrameTracker:
         if self._fused2 is None:
             self._fused2 = _make_fused_track2(
                 self.model, self.cfg, self.cfg.filtering_mode,
-                self._img_downsample,
+                self._img_downsample, use_calib=self._calib_live(),
             )
 
         spec = self._spec
@@ -424,6 +555,7 @@ class FrameTracker:
             spec["N"],
             T_WCf,
             spec["T"],
+            self.keyframes.K if self._calib_live() else None,
         )
         self.idx_f2k = out["idx"]
         # Optimistic chain: assume the frame tracked fine and did not become
@@ -563,7 +695,8 @@ class FrameTracker:
         _ensure_encoded(self.model, frame)
         if self._fused is None:
             self._fused = _make_fused_track(
-                self.model, self.cfg, self.cfg.filtering_mode
+                self.model, self.cfg, self.cfg.filtering_mode,
+                use_calib=self._calib_live(),
             )
             n = self.keyframes.h * self.keyframes.w
             self._zeros3 = jnp.zeros((n, 3))
@@ -589,6 +722,7 @@ class FrameTracker:
             kf["N"],
             frame.T_WC,
             kf["T"],
+            self.keyframes.K if self._calib_live() else None,
         )
         self.idx_f2k = out["idx"]
 

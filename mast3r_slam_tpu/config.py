@@ -165,6 +165,15 @@ class RuntimeConfig:
     # SLAM.load_state (SURVEY §5.4 — the reference had no checkpointing)
     snapshot_every: int = 0
     snapshot_path: str = "slam_state.npz"
+    # Keyframe eviction when the arena is full: "covisibility" drops the
+    # lowest-edge-degree keyframe outside the protected set (gauge anchors
+    # + the most recent `eviction_protect`); "off" restores the hard
+    # capacity assert. (The reference grew without bound, frame.py:178.)
+    eviction: str = "covisibility"
+    eviction_protect: int = 4
+    # Per-frame structured metrics (JSON lines; utils/metrics.py). Empty =
+    # off. Summarize with `python -m mast3r_slam_tpu.utils.metrics <path>`.
+    metrics_path: str = ""
 
 
 @dataclass

@@ -182,6 +182,20 @@ def _arena_write(buf: jax.Array, idx, value: jax.Array) -> jax.Array:
     return buf.at[idx].set(value)
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _arena_remove(buf: jax.Array, idx) -> jax.Array:
+    """Close the gap at slot `idx` by shifting higher slots down one.
+
+    Static-shape compaction: ONE gather over the arena (a few ms at
+    512-keyframe scale), traced once for any `idx`. Slots past the last
+    live one become duplicates of the tail — callers track the live count.
+    """
+    cap = buf.shape[0]
+    ar = jnp.arange(cap)
+    src = jnp.where(ar < idx, ar, jnp.minimum(ar + 1, cap - 1))
+    return buf[src]
+
+
 class Keyframes:
     """Fixed-capacity keyframe store, all buffers HBM-resident.
 
@@ -232,6 +246,25 @@ class Keyframes:
         if self._feat is None:
             s, d = feat.shape[-2:]
             self._feat = jnp.zeros((self.capacity, s, d), feat.dtype)
+
+    def remove(self, idx: int) -> None:
+        """Evict keyframe `idx` and compact the arena (map-scaling path:
+        the reference grew unboundedly, frame.py:178; a fixed arena that
+        aborts at capacity is not deployable either — SURVEY §5.7)."""
+        count = len(self.frame_ids)
+        if not (0 <= idx < count):
+            raise IndexError(f"keyframe {idx} not live (count={count})")
+        self.frame_ids.pop(idx)
+        self.imgs.pop(idx)
+        self._n_host.pop(idx)
+        self._n_host.append(0.0)
+        self.X = _arena_remove(self.X, idx)
+        self.C = _arena_remove(self.C, idx)
+        self.T_WC = _arena_remove(self.T_WC, idx)
+        self.N = _arena_remove(self.N, idx)
+        if self._feat is not None:
+            self._feat = _arena_remove(self._feat, idx)
+        self.version += 1
 
     def append(self, frame: Frame) -> int:
         idx = len(self.frame_ids)

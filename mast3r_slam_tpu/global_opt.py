@@ -60,17 +60,10 @@ class FactorGraph:
 
     # ---------------------------------------------------------------- prune
 
-    def prune_to_window(self, latest_kf: int, window_size: int | None = None) -> int:
-        """Drop edges whose endpoints both fall outside the sliding window
-        of the most recent keyframes (local_opt.window_size — the reference
-        carried the knob but never enforced it, config.py:93; SURVEY §5.7).
-        Returns the number of edges removed."""
-        window_size = window_size if window_size is not None else self.cfg.window_size
-        lo = latest_kf - window_size + 1
-        if lo <= 0 or self.n_edges == 0:
-            return 0
+    def _compact_edges(self, keep: np.ndarray) -> int:
+        """Keep only the edge slots listed in `keep` (ascending indices into
+        the live prefix); returns the number of edges removed."""
         e = self.n_edges
-        keep = np.where((self.ii[:e] >= lo) | (self.jj[:e] >= lo))[0]
         removed = e - keep.size
         if removed == 0:
             return 0
@@ -88,6 +81,39 @@ class FactorGraph:
         self.ii[: keep.size] = self.ii[keep]
         self.jj[: keep.size] = self.jj[keep]
         self.n_edges = keep.size
+        return removed
+
+    def prune_to_window(self, latest_kf: int, window_size: int | None = None) -> int:
+        """Drop edges whose endpoints both fall outside the sliding window
+        of the most recent keyframes (local_opt.window_size — the reference
+        carried the knob but never enforced it, config.py:93; SURVEY §5.7).
+        Returns the number of edges removed."""
+        window_size = window_size if window_size is not None else self.cfg.window_size
+        lo = latest_kf - window_size + 1
+        if lo <= 0 or self.n_edges == 0:
+            return 0
+        e = self.n_edges
+        keep = np.where((self.ii[:e] >= lo) | (self.jj[:e] >= lo))[0]
+        return self._compact_edges(keep)
+
+    def edge_degree(self, n_keyframes: int) -> np.ndarray:
+        """Per-keyframe edge count (covisibility degree) over live edges."""
+        deg = np.zeros(n_keyframes, np.int64)
+        e = self.n_edges
+        np.add.at(deg, self.ii[:e], 1)
+        np.add.at(deg, self.jj[:e], 1)
+        return deg
+
+    def remove_keyframe(self, idx: int) -> int:
+        """Evict keyframe `idx`: drop its edges, shift higher keyframe
+        indices down one (arena compaction contract of Keyframes.remove).
+        Returns the number of edges removed."""
+        e = self.n_edges
+        keep = np.where((self.ii[:e] != idx) & (self.jj[:e] != idx))[0]
+        removed = self._compact_edges(keep)
+        e = self.n_edges
+        self.ii[:e] = np.where(self.ii[:e] > idx, self.ii[:e] - 1, self.ii[:e])
+        self.jj[:e] = np.where(self.jj[:e] > idx, self.jj[:e] - 1, self.jj[:e])
         return removed
 
     # ------------------------------------------------------------------ add

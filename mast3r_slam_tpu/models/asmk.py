@@ -58,6 +58,28 @@ def kmeans_codebook(
     return centroids
 
 
+@partial(jax.jit, static_argnames=("proj_dim",))
+def pca_whitening(
+    feats: jax.Array, proj_dim: int, eps: float = 1e-6
+) -> tuple[jax.Array, jax.Array]:
+    """Learn a PCA-whitening transform from accumulated local features.
+
+    Returns (mu [D], W [D, proj_dim]) such that (f - mu) @ W has identity
+    covariance over the top `proj_dim` principal components — the learned
+    analog of upstream ASMK's whitening stage (the r1 implementation used
+    a random orthogonal projection; VERDICT r1 item 6).
+    """
+    m = feats.shape[0]
+    mu = jnp.mean(feats, axis=0)
+    x = feats - mu
+    cov = (x.T @ x) / jnp.maximum(m - 1, 1)
+    eigvals, eigvecs = jnp.linalg.eigh(cov)  # ascending
+    top = eigvecs[:, -proj_dim:][:, ::-1]  # [D, proj_dim], descending
+    lam = eigvals[-proj_dim:][::-1]
+    W = top / jnp.sqrt(jnp.maximum(lam, eps))[None, :]
+    return mu, W
+
+
 @jax.jit
 def aggregate_binarize(
     feats: jax.Array, codebook: jax.Array
@@ -134,12 +156,14 @@ class ASMKRetriever:
         self.n_words = n_words
         self.proj_dim = proj_dim
         self.capacity = capacity
-        # Random orthogonal projection (whitening slot; replaceable by a
-        # learned PCA-whitening from models/io.py).
+        # Pre-fit placeholder: random orthogonal projection. fit_codebook
+        # replaces it with PCA-whitening learned from the accumulated
+        # keyframe features (upstream ASMK's whitening stage).
         rng = np.random.default_rng(seed)
         a = rng.normal(size=(feat_dim, max(proj_dim, 1)))
         q, _ = np.linalg.qr(a)
         self.projection = jnp.asarray(q[:, :proj_dim], jnp.float32)
+        self.mu = jnp.zeros((feat_dim,), jnp.float32)
         self.codebook: jax.Array | None = None
         self.B = jnp.zeros((capacity, n_words, proj_dim), jnp.int8)
         self.present = jnp.zeros((capacity, n_words), bool)
@@ -147,9 +171,15 @@ class ASMKRetriever:
         self._pending: list[jax.Array] = []  # features awaiting codebook fit
 
     def _project(self, feats: jax.Array) -> jax.Array:
-        return feats.astype(jnp.float32) @ self.projection
+        return (feats.astype(jnp.float32) - self.mu) @ self.projection
 
     def fit_codebook(self, feats_list: list[jax.Array], iters: int = 10) -> None:
+        """Learn PCA-whitening from the accumulated features, then the
+        visual-word codebook in the whitened space."""
+        raw = jnp.concatenate(
+            [f.astype(jnp.float32) for f in feats_list], axis=0
+        )
+        self.mu, self.projection = pca_whitening(raw, self.proj_dim)
         f = jnp.concatenate([self._project(f) for f in feats_list], axis=0)
         self.codebook = kmeans_codebook(f, self.n_words, iters=iters)
 
@@ -165,6 +195,17 @@ class ASMKRetriever:
         self.present = self.present.at[idx].set(present)
         self.count += 1
         return idx
+
+    def remove(self, idx: int) -> None:
+        """Evict database entry `idx` (keyframe-arena compaction contract:
+        higher entries shift down one)."""
+        if not (0 <= idx < self.count):
+            return
+        from mast3r_slam_tpu.frame import _arena_remove
+
+        self.B = _arena_remove(self.B, idx)
+        self.present = _arena_remove(self.present, idx)
+        self.count -= 1
 
     def query(self, feats: jax.Array, k: int = 3) -> tuple[list[int], list[float]]:
         if self.count == 0 or self.codebook is None:

@@ -133,6 +133,23 @@ class RetrievalDatabase:
                 self._asmk_add(frame.feat)
         return topk
 
+    def remove(self, idx: int) -> None:
+        """Evict keyframe `idx`'s signature and compact (keyframe-arena
+        compaction contract: higher indices shift down one)."""
+        count = self.kf_counter
+        if not (0 <= idx < count):
+            return
+        from mast3r_slam_tpu.frame import _arena_remove
+
+        self.signatures = _arena_remove(self.signatures, idx)
+        self.kf_ids.pop()  # kf_ids is the identity map [0..count); shrink it
+        if self.asmk is not None:
+            if self.asmk.ready():
+                self.asmk.remove(idx)
+            elif idx < len(self._asmk_pending):
+                # codebook not fitted yet: entries are per-keyframe features
+                self._asmk_pending.pop(idx)
+
     def _asmk_add(self, feat: jax.Array) -> None:
         """Insert into the ASMK arena, fitting the codebook lazily from the
         first keyframes' features."""

@@ -76,6 +76,9 @@ class SLAM:
         self.retrieval_db: Optional[RetrievalDatabase] = None
         self.timestamps: list[float] = []
         self.poses: list[np.ndarray] = []
+        self.metrics = None  # MetricsLogger when runtime.metrics_path set
+        self._frame_events: dict = {}
+        self._t_last_frame: Optional[float] = None
 
     # ------------------------------------------------------------------ run
 
@@ -147,6 +150,14 @@ class SLAM:
             self._finish_frame(*pending)
 
         print(f"Done! {len(self.keyframes)} keyframes, {len(self.poses)} poses")
+        if self.metrics:
+            from mast3r_slam_tpu.utils.metrics import summarize
+
+            self.metrics.close()
+            print(
+                "Run metrics:",
+                summarize(self.config.runtime.metrics_path),
+            )
         return self._get_results()
 
     def _step_sync(self, frame: Frame, timestamp: float) -> None:
@@ -163,6 +174,7 @@ class SLAM:
         """Resolve a pipelined dispatch: ONE stats sync, then mode logic."""
         new_kf, _info, try_reloc = self.tracker.resolve(handle)
         if try_reloc:
+            self._frame_events["skipped"] = True
             self.state.mode = Mode.RELOC
             self._process_reloc(frame)
         elif new_kf:
@@ -176,9 +188,51 @@ class SLAM:
         X, C, feat, pos = mast3r_inference_mono(self.model, frame)
         frame.X_canon, frame.C, frame.feat, frame.pos = X, C, feat, pos
         frame.N = frame.N_updates = 1
+        self._evict_if_full()
         kf_idx = self.keyframes.append(frame)
         self.retrieval_db.update(frame, add_after_query=True)
         self.state.queue_global_optimization(kf_idx)
+        self._frame_events["new_kf"] = True
+
+    def _evict_if_full(self) -> Optional[int]:
+        """Graceful map scaling: when the keyframe arena is full, evict the
+        lowest-covisibility keyframe outside the protected set (gauge
+        anchors + the most recent `runtime.eviction_protect`), keeping the
+        factor graph, retrieval database, and pending backend tasks
+        consistent with the compacted indices. Returns the evicted index,
+        or None. (SURVEY §5.7: the reference grew unboundedly; VERDICT r1
+        item 5.)"""
+        n = len(self.keyframes)
+        if n < self.keyframes.capacity:
+            return None
+        if self.config.runtime.eviction == "off":
+            return None  # append() keeps the legacy hard assert
+        pin = self.config.local_opt.pin
+        protect = max(1, self.config.runtime.eviction_protect)
+        lo, hi = pin, n - protect
+        if lo >= hi:  # tiny arenas: keep the anchor + current KF only
+            lo, hi = min(pin, n - 1), n - 1
+        if lo >= hi:
+            return None
+        deg = self.factor_graph.edge_degree(n)
+        victim = min(range(lo, hi), key=lambda i: (deg[i], i))
+        self.factor_graph.remove_keyframe(victim)
+        self.keyframes.remove(victim)
+        self.retrieval_db.remove(victim)
+        self.state.global_optimizer_tasks = [
+            t - 1 if t > victim else t
+            for t in self.state.global_optimizer_tasks
+            if t != victim
+        ]
+        # Invalidate tracker caches: arena slots shifted under them.
+        self.tracker._spec = None
+        self.tracker._kf_cache = None
+        print(f"Evicted keyframe {victim} (degree {int(deg[victim])})")
+        if self.metrics:
+            self.metrics.log(
+                dict(event="eviction", victim=victim, degree=int(deg[victim]))
+            )
+        return victim
 
     def _bookkeep(self, frame: Frame, timestamp: float) -> None:
         self.timestamps.append(timestamp)
@@ -187,7 +241,29 @@ class SLAM:
         self._last_T_WC = frame.T_WC
         if self._callback:
             self._callback(frame, self.keyframes)
-        self._run_backend()
+        solves = self._run_backend()
+
+        if self.metrics:
+            now = time.perf_counter()
+            prev = self._t_last_frame if self._t_last_frame is not None else (
+                self._t_start
+            )
+            rec = dict(
+                event="frame",
+                frame=frame.frame_id,
+                ts=timestamp,
+                frame_ms=(now - prev) * 1e3,
+                mode=self.state.mode.name,
+                n_keyframes=len(self.keyframes),
+                n_edges=self.factor_graph.n_edges,
+                backend_solves=solves,
+            )
+            if self.tracker.last_stats:
+                rec.update(self.tracker.last_stats)
+            rec.update(self._frame_events)
+            self.metrics.log(rec)
+            self._t_last_frame = now
+        self._frame_events = {}
 
         self._n_done += 1
         if self._n_done % 10 == 0:
@@ -228,6 +304,10 @@ class SLAM:
         K = self.keyframes.get_intrinsics() if self.config.use_calib else None
         self.factor_graph = FactorGraph(self.model, self.keyframes, K)
         self.retrieval_db = load_retriever(self.model)
+        if self.config.runtime.metrics_path:
+            from mast3r_slam_tpu.utils.metrics import MetricsLogger
+
+            self.metrics = MetricsLogger(self.config.runtime.metrics_path)
 
     # ------------------------------------------------------- checkpointing
 
@@ -276,6 +356,7 @@ class SLAM:
     def _process_tracking(self, frame: Frame) -> None:
         new_kf, _info, try_reloc = self.tracker.track(frame, mast3r_match_asymmetric)
         if try_reloc:
+            self._frame_events["skipped"] = True
             self.state.mode = Mode.RELOC
             self._process_reloc(frame)
             return
@@ -284,6 +365,7 @@ class SLAM:
 
     def _process_reloc(self, frame: Frame) -> None:
         """(parity: slam.py:216-290 — retrieval, tentative KF, rollback)"""
+        self._frame_events["reloc"] = True
         X, C, feat, pos = mast3r_inference_mono(self.model, frame)
         frame.X_canon, frame.C, frame.feat, frame.pos = X, C, feat, pos
         frame.N = frame.N_updates = 1
@@ -292,6 +374,11 @@ class SLAM:
         similar = self.retrieval_db.update(
             frame, add_after_query=False, k=rcfg.k, min_thresh=rcfg.min_thresh
         )
+
+        # Eviction may shift keyframe indices: remap the candidates.
+        victim = self._evict_if_full()
+        if victim is not None:
+            similar = [s - 1 if s > victim else s for s in similar if s != victim]
 
         success = False
         if similar:
@@ -328,7 +415,8 @@ class SLAM:
         self.state.mode = Mode.TRACKING
         self.tracker.reset_idx_f2k()
 
-    def _run_backend(self) -> None:
+    def _run_backend(self) -> int:
+        solves = 0
         while True:
             idx = self.state.dequeue_global_optimization()
             if idx is None:
@@ -345,6 +433,8 @@ class SLAM:
                 self.factor_graph.solve_GN_calib()
             else:
                 self.factor_graph.solve_GN_rays()
+            solves += 1
+        return solves
 
     # --------------------------------------------------------------- output
 

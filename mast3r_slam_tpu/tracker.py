@@ -483,6 +483,7 @@ class FrameTracker:
         self.use_calib = cfg.use_calib
         self._img_downsample = max(1, cfg.dataset.img_downsample)
         self.idx_f2k: Optional[jax.Array] = None
+        self.last_stats: Optional[dict] = None  # per-frame scalar bundle
         self._fused = None
         self._fused2 = None
         self._kf_cache: Optional[dict] = None
@@ -579,6 +580,11 @@ class FrameTracker:
         stats = np.asarray(out["stats"])
         match_frac, match_frac_k, unique_frac_f, _, kf_N = (
             float(x) for x in stats
+        )
+        self.last_stats = dict(
+            match_frac=match_frac,
+            match_frac_k=match_frac_k,
+            unique_frac_f=unique_frac_f,
         )
 
         frame.feat, frame.pos = out["feat"], out["pos"]
@@ -731,6 +737,11 @@ class FrameTracker:
         match_frac, match_frac_k, unique_frac_f, frame_N, kf_N = (
             float(x) for x in stats
         )
+        self.last_stats = dict(
+            match_frac=match_frac,
+            match_frac_k=match_frac_k,
+            unique_frac_f=unique_frac_f,
+        )
 
         # Frame pointmap fusion applies regardless of the tracking gate
         # (reference order: tracker.py:94 then :116).
@@ -831,6 +842,11 @@ class FrameTracker:
         # ONE host sync for the whole step.
         match_frac, match_frac_k, unique_frac_f = (
             float(x) for x in np.asarray(out["stats"])
+        )
+        self.last_stats = dict(
+            match_frac=match_frac,
+            match_frac_k=match_frac_k,
+            unique_frac_f=unique_frac_f,
         )
 
         if match_frac < c.min_match_frac:

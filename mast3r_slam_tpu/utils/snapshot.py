@@ -49,6 +49,20 @@ def save_snapshot(slam, path: str | Path) -> None:
         arrays["kf_pos"] = np.asarray(kfs._pos)
     if kfs.K is not None:
         arrays["kf_K"] = np.asarray(kfs.K)
+    asmk_count = 0
+    if rdb.asmk is not None:
+        a = rdb.asmk
+        asmk_count = a.count
+        arrays["asmk_mu"] = np.asarray(a.mu)
+        arrays["asmk_projection"] = np.asarray(a.projection)
+        arrays["asmk_B"] = np.asarray(a.B)
+        arrays["asmk_present"] = np.asarray(a.present)
+        if a.codebook is not None:
+            arrays["asmk_codebook"] = np.asarray(a.codebook)
+        if rdb._asmk_pending:
+            arrays["asmk_pending"] = np.stack(
+                [np.asarray(f) for f in rdb._asmk_pending]
+            )
 
     header = dict(
         version=SNAPSHOT_VERSION,
@@ -59,6 +73,7 @@ def save_snapshot(slam, path: str | Path) -> None:
         kf_frame_ids=kfs.frame_ids,
         fg_n_edges=fg.n_edges,
         rdb_kf_ids=rdb.kf_ids,
+        asmk_count=asmk_count,
         mode=slam.state.mode.name,
     )
     np.savez_compressed(path, header=json.dumps(header), **arrays)
@@ -107,6 +122,20 @@ def load_snapshot(slam, path: str | Path) -> None:
 
     rdb.signatures = jnp.asarray(data["rdb_signatures"])
     rdb.kf_ids = list(header["rdb_kf_ids"])
+    if rdb.asmk is not None and "asmk_mu" in data:
+        a = rdb.asmk
+        a.mu = jnp.asarray(data["asmk_mu"])
+        a.projection = jnp.asarray(data["asmk_projection"])
+        a.B = jnp.asarray(data["asmk_B"])
+        a.present = jnp.asarray(data["asmk_present"])
+        a.count = int(header.get("asmk_count", 0))
+        if "asmk_codebook" in data:
+            a.codebook = jnp.asarray(data["asmk_codebook"])
+        rdb._asmk_pending = (
+            [jnp.asarray(f) for f in data["asmk_pending"]]
+            if "asmk_pending" in data
+            else []
+        )
 
     slam.poses = [p for p in data["poses"]]
     slam.timestamps = list(data["timestamps"])

@@ -49,9 +49,22 @@ def _teleport_world(rng, h=16, w=16):
 
 
 class TestRelocOracle:
-    def test_teleport_and_revisit(self, rng):
+    @pytest.mark.parametrize("method", ["signature", "asmk"])
+    def test_teleport_and_revisit(self, rng, method):
+        """Loop closure through both retrieval paths: the global-signature
+        fallback (reference parity) and real ASMK with learned
+        PCA-whitening (the upstream method the north star names)."""
         h = w = 16
         model, gt = _teleport_world(rng)
+        retrieval = {"min_thresh": 0.5}
+        if method == "asmk":
+            retrieval = {
+                "method": "asmk",
+                "min_thresh": 0.5,
+                "asmk_n_words": 8,
+                "asmk_proj_dim": 4,
+                "asmk_codebook_kf": 3,
+            }
         set_config(
             Config.from_dict(
                 {
@@ -59,7 +72,7 @@ class TestRelocOracle:
                     "local_opt": {"max_edges": 32, "max_iters": 12},
                     "matching": {"use_simple": True, "dist_thresh": 0.5},
                     "tracking": {"min_match_frac": 0.3},
-                    "retrieval": {"min_thresh": 0.5},
+                    "retrieval": retrieval,
                     "reloc": {"min_match_frac": 0.3, "strict": True},
                 }
             )

@@ -52,6 +52,41 @@ class TestSnapshot:
         np.testing.assert_allclose(np.stack(slam2.poses), np.stack(slam.poses))
         assert slam2.retrieval_db.kf_ids == slam.retrieval_db.kf_ids
 
+    def test_asmk_state_roundtrip(self, tmp_path, tiny_model):
+        """ASMK retrieval state (whitening, codebook, aggregated arena)
+        survives save/resume."""
+        set_config(
+            _cfg(
+                {
+                    "retrieval": {
+                        "method": "asmk",
+                        "asmk_n_words": 8,
+                        "asmk_proj_dim": 4,
+                        "asmk_codebook_kf": 1,
+                    }
+                }
+            )
+        )
+        ds = _static_dataset(tmp_path)
+        slam = SLAM(model=tiny_model, resolution=64)
+        slam.run(ds, max_frames=3)
+        a = slam.retrieval_db.asmk
+        assert a is not None and a.ready() and a.count >= 1
+        snap = tmp_path / "state_asmk.npz"
+        slam.save_state(snap)
+
+        slam2 = SLAM(model=tiny_model, resolution=64)
+        slam2.load_state(snap)
+        b = slam2.retrieval_db.asmk
+        assert b.count == a.count
+        np.testing.assert_array_equal(np.asarray(b.B), np.asarray(a.B))
+        np.testing.assert_allclose(
+            np.asarray(b.projection), np.asarray(a.projection)
+        )
+        np.testing.assert_allclose(
+            np.asarray(b.codebook), np.asarray(a.codebook)
+        )
+
     def test_resume_continues_tracking(self, tmp_path, tiny_model):
         set_config(_cfg())
         ds = _static_dataset(tmp_path)

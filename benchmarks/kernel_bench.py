@@ -154,9 +154,16 @@ def bench_dense_match(rng, quick=False):
 
 
 def bench_gn(rng, mode, quick=False):
-    """Reference size: 20 KF, 1000 pts, 30 edges (BASELINE.md rows 5-7)."""
+    """Reference size: 20 KF, 1000 pts, 30 edges (BASELINE.md rows 5-7).
+
+    Numeric oracle: the float64 per-edge-loop numpy twin
+    (benchmarks/gn_oracle.py) runs on the SAME inputs; agreement is
+    reported as max pose diff + Pearson corr of the updated poses
+    (reference acceptance bands: corr>0.99,
+    metal_kernels_benchmark.md:153-156)."""
     import jax.numpy as jnp
 
+    from benchmarks.gn_oracle import gauss_newton_graph_reference
     from mast3r_slam_tpu.ops import GNParams, gauss_newton_graph
     from tests.fixtures import make_graph_problem, perturb_poses
 
@@ -174,10 +181,7 @@ def bench_gn(rng, mode, quick=False):
         dict(K_intr=prob["K"], img_size=prob["img_size"]) if mode == "calib" else {}
     )
 
-    t_dev, (Twc_new, _) = _time_device(
-        lambda *a: gauss_newton_graph(
-            *a, edge_mask, free, mode=mode, params=params, **kwargs
-        ),
+    args = (
         Twc0,
         prob["Xs"],
         prob["Cs"],
@@ -186,6 +190,17 @@ def bench_gn(rng, mode, quick=False):
         prob["idx"],
         prob["valid"],
         prob["Q"],
+        edge_mask,
+        free,
+    )
+    t_dev, (Twc_new, _) = _time_device(
+        lambda *a: gauss_newton_graph(*a, mode=mode, params=params, **kwargs),
+        *args,
+    )
+    t_ref, Twc_ref = _time_host(
+        lambda: gauss_newton_graph_reference(
+            *args, mode=mode, params=params, **kwargs
+        )
     )
     from tests.fixtures import pose_distance
 
@@ -195,10 +210,15 @@ def bench_gn(rng, mode, quick=False):
     err1 = np.mean(
         [pose_distance(Twc_new[k], prob["Twc_gt"][k]) for k in range(1, num_kf)]
     )
+    dev_np = np.asarray(Twc_new, np.float64)
     return {
         "kernel": f"gauss_newton_{mode}",
         "config": f"{num_kf} KF, {hw[0]*hw[1]} pts, {num_edges} edges, 3 iters",
         "device_ms": t_dev * 1e3,
+        "oracle_ms": t_ref * 1e3,
+        "speedup": t_ref / t_dev,
+        "max_diff": float(np.abs(dev_np - Twc_ref).max()),
+        "corr": _pearson(dev_np, Twc_ref),
         "pose_err_before": float(err0),
         "pose_err_after": float(err1),
         "err_ratio": float(err1 / max(err0, 1e-12)),

@@ -112,12 +112,21 @@ class LocalOptConfig:
     # Static capacity of the edge store (factor graph); a TPU-specific knob —
     # shapes under jit must be static, so edges live in a fixed arena.
     max_edges: int = 256
+    # Backend tasks processed per frame (0 = drain everything each frame,
+    # the reference's serialized behavior). A bound interleaves backend
+    # solves with subsequent frames' tracking, spreading the new-keyframe
+    # latency spike; run() drains leftovers at sequence end.
+    backend_tasks_per_frame: int = 0
 
 
 @dataclass
 class RetrievalConfig:
     k: int = 3
     min_thresh: float = 0.005
+    # Signature-path online whitening: accumulate this many keyframes'
+    # features, fit PCA-whitening into the RetrievalModel head, recompute
+    # stored signatures (0 = identity whitening, reference degradation).
+    whitening_kf: int = 0
     # "signature": whitened global-signature dot product (the reference's
     # reduction). "asmk": real aggregated-selective-match-kernel retrieval
     # (the upstream method; models/asmk.py).

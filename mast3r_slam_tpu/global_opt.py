@@ -235,7 +235,9 @@ class FactorGraph:
         sel_j = jnp.asarray(sel)
         Twc = self.frames.T_WC[sel_j]
         Xs = self.frames.X[sel_j]
-        Cs = (self.frames.C / jnp.maximum(self.frames.N, 1.0))[sel_j][..., 0]
+        # average-confidence of the SUBSET only (dividing the full arena
+        # here cost a capacity-sized pass per solve)
+        Cs = (self.frames.C[sel_j] / jnp.maximum(self.frames.N[sel_j], 1.0))[..., 0]
         free = np.zeros(K_pad, bool)
         free[pin : unique.size] = True
 

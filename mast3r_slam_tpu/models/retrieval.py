@@ -76,3 +76,21 @@ class RetrievalModel:
     def forward_global(self, feat: jax.Array) -> jax.Array:
         _, _, sig = self._apply(self.params, feat)
         return sig
+
+    def fit_whitening(self, feats: jax.Array) -> None:
+        """Learn the whitening affine from accumulated local features
+        (PCA-whitening, models/asmk.py) — the online substitute for the
+        upstream pretrained whitening when no checkpoint is available.
+        `feats`: [M, D] stacked token features from the first keyframes."""
+        import flax
+
+        from mast3r_slam_tpu.models.asmk import pca_whitening
+
+        out_dim = self.net.out_dim
+        mu, W = pca_whitening(feats.astype(jnp.float32), out_dim)
+        params = flax.core.unfreeze(self.params)
+        params["params"]["whiten"]["kernel"] = W
+        params["params"]["whiten"]["bias"] = -(mu @ W)
+        self.params = flax.core.freeze(params) if isinstance(
+            self.params, flax.core.FrozenDict
+        ) else params

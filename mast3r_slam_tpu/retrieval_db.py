@@ -58,8 +58,16 @@ class RetrievalDatabase:
         self.signatures = jnp.zeros((self.capacity, backbone_dim), jnp.float32)
         self.kf_ids: list[int] = []
 
-        # Optional real-ASMK backend (upstream loop-closure method).
+        # Optional online PCA-whitening for the signature path: accumulate
+        # the first `whitening_kf` keyframes' features, fit the whitening
+        # affine, then recompute the stored signatures (the upstream model
+        # ships pretrained whitening; this learns it from the run itself).
         rcfg = cfg.retrieval
+        self._whitening_kf = rcfg.whitening_kf
+        self._sig_pending: list[jax.Array] = []
+        self._whitening_fitted = False
+
+        # Optional real-ASMK backend (upstream loop-closure method).
         self.method = rcfg.method
         self.asmk = None
         self._asmk_pending: list[jax.Array] = []
@@ -131,7 +139,36 @@ class RetrievalDatabase:
             self.kf_ids.append(count)
             if self.asmk is not None:
                 self._asmk_add(frame.feat)
+            self._maybe_fit_whitening(frame.feat)
         return topk
+
+    def _maybe_fit_whitening(self, feat: jax.Array) -> None:
+        """Online whitening for the signature path (retrieval.whitening_kf
+        keyframes accumulate, then PCA-whitening is fitted and all stored
+        signatures are recomputed in the whitened space)."""
+        if (
+            self._whitening_kf <= 0
+            or self._whitening_fitted
+            or self.retrieval is None
+            or feat is None
+        ):
+            return
+        self._sig_pending.append(feat)
+        if len(self._sig_pending) < self._whitening_kf:
+            return
+        stacked = jnp.concatenate(
+            [
+                f.astype(jnp.float32).reshape(-1, f.shape[-1])
+                for f in self._sig_pending
+            ],
+            axis=0,
+        )
+        self.retrieval.fit_whitening(stacked)
+        self._whitening_fitted = True
+        # Recompute stored signatures so old and new entries are comparable.
+        for i, f in enumerate(self._sig_pending):
+            self.signatures = self.signatures.at[i].set(self.compute_signature(f))
+        self._sig_pending = []
 
     def remove(self, idx: int) -> None:
         """Evict keyframe `idx`'s signature and compact (keyframe-arena
@@ -149,6 +186,8 @@ class RetrievalDatabase:
             elif idx < len(self._asmk_pending):
                 # codebook not fitted yet: entries are per-keyframe features
                 self._asmk_pending.pop(idx)
+        if not self._whitening_fitted and idx < len(self._sig_pending):
+            self._sig_pending.pop(idx)
 
     def _asmk_add(self, feat: jax.Array) -> None:
         """Insert into the ASMK arena, fitting the codebook lazily from the

@@ -148,6 +148,7 @@ class SLAM:
 
         if pending is not None:
             self._finish_frame(*pending)
+        self._run_backend(budget=0)  # drain any deferred backend tasks
 
         print(f"Done! {len(self.keyframes)} keyframes, {len(self.poses)} poses")
         if self.metrics:
@@ -415,9 +416,22 @@ class SLAM:
         self.state.mode = Mode.TRACKING
         self.tracker.reset_idx_f2k()
 
-    def _run_backend(self) -> int:
+    def _run_backend(self, budget: Optional[int] = None) -> int:
+        """Drain queued global-optimization tasks.
+
+        `budget` bounds tasks processed this call (default: the
+        `local_opt.backend_tasks_per_frame` config; None in config = drain
+        everything, the reference's serialized behavior, slam.py:292-319).
+        A bounded budget interleaves backend solves with subsequent frames'
+        tracking — with pipelined tracking the next frame's fused program
+        is already in flight on the device stream, so a bound turns the
+        new-keyframe latency spike into spread work without changing total
+        device time. run() drains the remainder at sequence end.
+        """
+        if budget is None:
+            budget = self.config.local_opt.backend_tasks_per_frame or 0
         solves = 0
-        while True:
+        while budget <= 0 or solves < budget:
             idx = self.state.dequeue_global_optimization()
             if idx is None:
                 break

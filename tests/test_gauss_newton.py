@@ -185,3 +185,39 @@ class TestPoseGN:
         assert pose_distance(T_est, T_gt) < 0.1 * pose_distance(
             lie.sim3_identity(), T_gt
         )
+
+
+class TestNumpyOracleTwin:
+    """Parity-pair check: the device solver vs the independent float64
+    numpy twin (benchmarks/gn_oracle.py) on identical inputs — the
+    reference's differential-testing pattern (SURVEY §4)."""
+
+    @pytest.mark.parametrize("mode", ["rays", "points", "calib"])
+    def test_device_matches_oracle(self, rng, mode):
+        from benchmarks.gn_oracle import gauss_newton_graph_reference
+
+        num_kf, hw, num_edges = 4, (8, 12), 6
+        prob = make_graph_problem(
+            rng, num_kf=num_kf, h=hw[0], w=hw[1], num_edges=num_edges
+        )
+        Twc0 = perturb_poses(rng, prob["Twc_gt"], mag=0.03)
+        edge_mask = jnp.ones(prob["ii"].shape[0], bool)
+        free = _free_mask(num_kf)
+        params = GNParams(max_iter=3, delta_thresh=0.0)
+        kwargs = (
+            dict(K_intr=prob["K"], img_size=prob["img_size"])
+            if mode == "calib"
+            else {}
+        )
+        args = (
+            Twc0, prob["Xs"], prob["Cs"], prob["ii"], prob["jj"],
+            prob["idx"], prob["valid"], prob["Q"], edge_mask, free,
+        )
+        Twc_dev, _ = gauss_newton_graph(*args, mode=mode, params=params, **kwargs)
+        Twc_ref = gauss_newton_graph_reference(
+            *args, mode=mode, params=params, **kwargs
+        )
+        dev = np.asarray(Twc_dev, np.float64)
+        corr = np.corrcoef(dev.ravel(), Twc_ref.ravel())[0, 1]
+        assert corr > 0.99, f"corr {corr}"
+        assert np.abs(dev - Twc_ref).max() < 5e-3

@@ -73,3 +73,50 @@ class TestPairSelection:
             jnp.asarray(sigs), k=1, min_thresh=0.99, include_consecutive=False
         )
         assert (1, 2) not in pairs_nc
+
+
+class TestOnlineWhitening:
+    def test_whitening_fit_and_recompute(self, rng):
+        """retrieval.whitening_kf: PCA-whitening is fitted from the first
+        keyframes' features, stored signatures are recomputed, and
+        same-cluster queries still rank first."""
+        set_config(
+            Config.from_dict(
+                {
+                    "runtime": {"keyframe_capacity": 16},
+                    "retrieval": {"whitening_kf": 2},
+                }
+            )
+        )
+        db = RetrievalDatabase(model=None, backbone_dim=1024)
+        assert db.retrieval is not None and not db.use_simple
+
+        # anisotropic features: two clusters along a dominant axis
+        base_a = rng.normal(size=(1, 1024)).astype(np.float32)
+        base_b = rng.normal(size=(1, 1024)).astype(np.float32)
+        fa = base_a + 0.05 * rng.normal(size=(16, 1024)).astype(np.float32)
+        fb = base_b + 0.05 * rng.normal(size=(16, 1024)).astype(np.float32)
+
+        db.update(_frame_with_feat(rng, 0, fa), add_after_query=True)
+        assert not db._whitening_fitted
+        db.update(_frame_with_feat(rng, 1, fb), add_after_query=True)
+        assert db._whitening_fitted
+        assert not db._sig_pending
+
+        # signatures stay unit-norm after the recompute
+        sigs = np.asarray(db.signatures[:2])
+        np.testing.assert_allclose(
+            np.linalg.norm(sigs, axis=-1), 1.0, atol=1e-4
+        )
+
+        # a query near cluster A must rank keyframe 0 first
+        fa2 = base_a + 0.05 * rng.normal(size=(16, 1024)).astype(np.float32)
+        ids, scores = db.query(jnp.asarray(fa2), k=2)
+        assert ids[0] == 0
+
+    def test_whitening_off_by_default(self, rng):
+        set_config(Config.from_dict({"runtime": {"keyframe_capacity": 16}}))
+        db = RetrievalDatabase(model=None, backbone_dim=1024)
+        f = _frame_with_feat(rng, 0, rng.normal(size=(8, 1024)).astype(np.float32))
+        db.update(f, add_after_query=True)
+        assert not db._whitening_fitted and not db._sig_pending

@@ -97,6 +97,51 @@ class TestOracleSLAM:
         assert abs_err.max() < 2e-2, f"max abs err {abs_err.max()}"
         assert len(slam.keyframes) >= 1
 
+    def test_bounded_backend_budget(self, tmp_path, rng):
+        """local_opt.backend_tasks_per_frame=1 interleaves backend solves
+        across frames; accuracy must match the drain-everything behavior
+        and the queue must drain by sequence end."""
+        h, w = 16, 16
+        n = 10
+        model, poses_gt = make_oracle_world(rng, n, h, w, step=0.12)
+        set_config(
+            Config.from_dict(
+                {
+                    "runtime": {"keyframe_capacity": 16},
+                    "local_opt": {
+                        "max_edges": 32,
+                        "backend_tasks_per_frame": 1,
+                    },
+                    "matching": {"use_simple": True, "dist_thresh": 0.05},
+                    "tracking": {"match_frac_thresh": 0.9, "min_match_frac": 0.01},
+                }
+            )
+        )
+        slam = SLAM(model=model, resolution=16)
+        from mast3r_slam_tpu.frame import Mode, create_frame
+        import jax.numpy as jnp
+
+        for i in range(n):
+            frame = create_frame(i, jnp.asarray(render_frame_image(i, h, w, rng)))
+            if i == 0:
+                slam._initialize_state(h, w)
+            if slam.state.mode == Mode.INIT:
+                slam._process_init(frame)
+            elif slam.state.mode == Mode.TRACKING:
+                slam._process_tracking(frame)
+            else:
+                slam._process_reloc(frame)
+            slam.poses.append(np.asarray(frame.T_WC))
+            slam.timestamps.append(float(i))
+            slam._run_backend()
+        slam._run_backend(budget=0)  # final drain (run() does this)
+
+        assert not slam.state.global_optimizer_tasks
+        assert len(slam.keyframes) >= 2
+        est = np.stack(slam.poses)
+        ate = ate_rmse(est, poses_gt)
+        assert ate < 2e-2, f"ATE {ate} with bounded backend"
+
     def test_keyframes_created_on_drift(self, tmp_path, rng):
         """Larger motion steps must trigger new keyframes (match fraction /
         uniqueness decay) and the backend must keep them consistent."""

@@ -47,7 +47,11 @@ class BatchState:
     T_WC: jax.Array  # [B, 8] current poses
 
 
-def _make_batch_program(model, cfg, filtering_mode: str):
+def _make_batch_program(model, cfg, filtering_mode: str, mesh=None):
+    """Build the vmapped per-frame program; with a `jax.sharding.Mesh`,
+    the sequence axis is sharded over the mesh's 'dp' axis (one GSPMD
+    program: decode/matching/GN run fully data-parallel over ICI, model
+    params replicated) — multi-chip serving without code changes above."""
     from mast3r_slam_tpu.models.mast3r import MASt3RNet
 
     cfg_key = (
@@ -114,20 +118,41 @@ def _make_batch_program(model, cfg, filtering_mode: str):
     batched = jax.vmap(
         one, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
     )
-    return jax.jit(batched)
+    if mesh is None:
+        return jax.jit(batched)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P("dp"))
+    return jax.jit(
+        batched,
+        in_shardings=(rep,) + (dp,) * 12,
+        out_shardings=dp,
+    )
 
 
 class BatchTracker:
     """Lockstep tracker over B sequences (rays objective, elementwise
     fusion modes)."""
 
-    def __init__(self, model):
+    def __init__(self, model, mesh=None):
+        """With `mesh` (a jax.sharding.Mesh with a 'dp' axis), sequences
+        shard over devices — each chip tracks B/n_dp streams; the batch
+        size must be divisible by the dp axis size."""
         self.model = model
         self.cfg = get_config().tracking
+        self.mesh = mesh
         self._program = _make_batch_program(
-            model, self.cfg, self.cfg.filtering_mode
+            model, self.cfg, self.cfg.filtering_mode, mesh
         )
         self.state: Optional[BatchState] = None
+
+    def _shard_batch(self, x: jax.Array) -> jax.Array:
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(x, NamedSharding(self.mesh, P("dp")))
 
     def init_from_keyframes(self, feats, poss, Xs, Cs) -> None:
         """Initialize B sequences from their first keyframes.
@@ -135,19 +160,24 @@ class BatchTracker:
         feats [B,S,D], poss [B,S,2], Xs [B,N,3], Cs [B,N,1] (mono pointmaps).
         """
         B = feats.shape[0]
+        if self.mesh is not None and B % self.mesh.shape["dp"]:
+            raise ValueError(
+                f"batch {B} not divisible by dp axis {self.mesh.shape['dp']}"
+            )
         ident = jnp.tile(lie.sim3_identity()[None], (B, 1))
         n = Xs.shape[1]
+        sh = self._shard_batch
         self.state = BatchState(
-            kf_feat=feats,
-            kf_pos=poss,
-            kf_X=Xs,
-            kf_C=Cs,
-            kf_N=jnp.ones((B,)),
-            kf_T=ident,
-            fr_X=jnp.zeros((B, n, 3)),
-            fr_C=jnp.zeros((B, n, 1)),
-            fr_N=jnp.zeros((B,)),
-            T_WC=ident,
+            kf_feat=sh(feats),
+            kf_pos=sh(poss),
+            kf_X=sh(Xs),
+            kf_C=sh(Cs),
+            kf_N=sh(jnp.ones((B,))),
+            kf_T=sh(ident),
+            fr_X=sh(jnp.zeros((B, n, 3))),
+            fr_C=sh(jnp.zeros((B, n, 1))),
+            fr_N=sh(jnp.zeros((B,))),
+            T_WC=sh(ident),
         )
 
     def step(self, feats: jax.Array, poss: jax.Array) -> dict:

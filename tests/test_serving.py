@@ -91,3 +91,61 @@ class TestBatchTracker:
         assert float(bt.state.fr_N[0]) == 0.0
         out = bt.step(feats, poss)
         assert out["tracked"].all()
+
+
+class TestShardedServing:
+    def test_dp_sharded_matches_unsharded(self, tiny_model, rng):
+        """Sequences sharded over an (8, 1) dp mesh produce the SAME poses
+        as the single-device batch — the multi-chip serving path."""
+        import jax
+        from mast3r_slam_tpu.parallel.mesh import make_mesh
+
+        set_config(
+            Config.from_dict(
+                {
+                    "matching": {"use_simple": True, "dist_thresh": 1e6},
+                    "tracking": {"min_match_frac": 0.01},
+                }
+            )
+        )
+        B = 8
+        h, w = tiny_model._out_hw
+        feats, poss, Xs, Cs = [], [], [], []
+        for _ in range(B):
+            img = jnp.asarray(rng.uniform(-1, 1, (1, h, w, 3)).astype(np.float32))
+            f, p = tiny_model.encode(img)
+            X, C = tiny_model.mono(f[0], p[0])
+            feats.append(f[0]); poss.append(p[0]); Xs.append(X); Cs.append(C)
+        feats, poss = jnp.stack(feats), jnp.stack(poss)
+        Xs, Cs = jnp.stack(Xs), jnp.stack(Cs)
+
+        ref = BatchTracker(tiny_model)
+        ref.init_from_keyframes(feats, poss, Xs, Cs)
+        out_ref = ref.step(feats, poss)
+
+        mesh = make_mesh(8, tp=1)
+        bt = BatchTracker(tiny_model, mesh=mesh)
+        bt.init_from_keyframes(feats, poss, Xs, Cs)
+        out = bt.step(feats, poss)
+
+        # state is actually dp-sharded across the 8 virtual devices
+        shard_devs = {s.device for s in bt.state.kf_X.addressable_shards}
+        assert len(shard_devs) == 8
+
+        np.testing.assert_allclose(
+            np.asarray(out["poses"]), np.asarray(out_ref["poses"]), atol=1e-4
+        )
+        np.testing.assert_array_equal(out["tracked"], out_ref["tracked"])
+
+    def test_indivisible_batch_rejected(self, tiny_model, rng):
+        from mast3r_slam_tpu.parallel.mesh import make_mesh
+
+        set_config(Config.from_dict({}))
+        mesh = make_mesh(8, tp=1)
+        bt = BatchTracker(tiny_model, mesh=mesh)
+        h, w = tiny_model._out_hw
+        with pytest.raises(ValueError, match="divisible"):
+            bt.init_from_keyframes(
+                jnp.zeros((3, 16, 32)), jnp.zeros((3, 16, 2), jnp.int32),
+                jnp.zeros((3, h * w, 3)), jnp.zeros((3, h * w, 1)),
+            )

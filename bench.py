@@ -164,12 +164,17 @@ def main() -> int:
 
     # Throughput: independent dispatches queue on the single device stream;
     # one final sync — the per-call link RTT does not pollute the number.
+    # State is THREADED through the chain (frame i+1 consumes frame i's
+    # outputs): real SLAM dependency structure, and no two calls share
+    # identical inputs (the relay serves repeated identical executions from
+    # a result cache, which would measure the cache, not the chip —
+    # docs/PLAN.md).
     chain = 20
-    outs = []
     t0 = time.perf_counter()
+    st = state
     for _ in range(chain):
-        outs.append(step_once(*consts, *state0))
-    jax.block_until_ready(outs[-1][0])
+        st = step_once(*consts, *st)
+    jax.block_until_ready(st[0])
     per_frame = (time.perf_counter() - t0) / chain
     fps_device = 1.0 / per_frame
     print(

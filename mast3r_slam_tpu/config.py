@@ -183,6 +183,14 @@ class RuntimeConfig:
     # Per-frame structured metrics (JSON lines; utils/metrics.py). Empty =
     # off. Summarize with `python -m mast3r_slam_tpu.utils.metrics <path>`.
     metrics_path: str = ""
+    # Live map/trajectory viewer (viewer.py): HTTP port to serve on, 0 =
+    # off. Open http://<host>:<port>/ in a browser (plain port-forward
+    # suffices — no websockets, no external assets).
+    viewer_port: int = 0
+    # Frames between full point-cloud republishes to the viewer (the
+    # trajectory updates every frame; clouds also refresh on keyframe
+    # promotion so backend pose updates propagate).
+    viewer_refresh: int = 10
 
 
 @dataclass

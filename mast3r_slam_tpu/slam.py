@@ -77,8 +77,15 @@ class SLAM:
         self.timestamps: list[float] = []
         self.poses: list[np.ndarray] = []
         self.metrics = None  # MetricsLogger when runtime.metrics_path set
+        self.viewer = None  # LiveViewer when runtime.viewer_port set
+        self._viewer_colors: dict[int, np.ndarray] = {}  # frame_id -> rgb
         self._frame_events: dict = {}
         self._t_last_frame: Optional[float] = None
+        self._callback = None
+        self._last_T_WC = None
+        self._n_done = 0
+        self._n_frames_total = 0
+        self._t_start = time.perf_counter()
 
     # ------------------------------------------------------------------ run
 
@@ -264,6 +271,12 @@ class SLAM:
             rec.update(self._frame_events)
             self.metrics.log(rec)
             self._t_last_frame = now
+        if self.viewer is not None:
+            refresh = max(1, self.config.runtime.viewer_refresh)
+            self._publish_viewer(
+                clouds=self._frame_events.get("new_kf", False)
+                or self._n_done % refresh == 0
+            )
         self._frame_events = {}
 
         self._n_done += 1
@@ -309,6 +322,11 @@ class SLAM:
             from mast3r_slam_tpu.utils.metrics import MetricsLogger
 
             self.metrics = MetricsLogger(self.config.runtime.metrics_path)
+        if self.config.runtime.viewer_port and self.viewer is None:
+            from mast3r_slam_tpu.viewer import LiveViewer
+
+            self.viewer = LiveViewer(self.config.runtime.viewer_port)
+            print(f"Live viewer: http://localhost:{self.viewer.port}/")
 
     # ------------------------------------------------------- checkpointing
 
@@ -449,6 +467,45 @@ class SLAM:
                 self.factor_graph.solve_GN_rays()
             solves += 1
         return solves
+
+    # ---------------------------------------------------------------- viewer
+
+    def _publish_viewer(self, clouds: bool, stride: int = 16) -> None:
+        """Push current state to the live viewer (host-side, non-blocking
+        for clients). Trajectory every call; keyframe clouds only when
+        `clouds` (promotion or periodic refresh) — each publish transforms
+        ALL keyframe pointmaps with their CURRENT poses in one device op,
+        so backend pose corrections propagate to the display."""
+        v = self.viewer
+        traj = (
+            np.asarray(jnp.stack(self.poses)) if self.poses else np.zeros((0, 8))
+        )
+        v.publish_traj(traj, mode=self.state.mode.name)
+        if not clouds or len(self.keyframes) == 0:
+            return
+        cnt = len(self.keyframes)
+        X = self.keyframes.X[:cnt, ::stride]
+        T = self.keyframes.T_WC[:cnt]
+        XW = np.asarray(lie.sim3_act(T[:, None], X))  # [cnt, n/stride, 3]
+        live_ids = set()
+        for k in range(cnt):
+            fid = self.keyframes.frame_ids[k]
+            live_ids.add(int(fid))
+            cols = self._viewer_colors.get(int(fid))
+            if cols is None:
+                img = np.asarray(self.keyframes.imgs[k])
+                cols = (
+                    np.clip(img, 0, 1).reshape(-1, 3)[::stride] * 255
+                ).astype(np.uint8)
+                self._viewer_colors[int(fid)] = cols
+            if len(cols) != len(XW[k]):  # img_downsample mismatch: grey
+                cols = None
+            v.publish_keyframe(int(fid), XW[k], cols, stride=1)
+        for fid in [f for f in list(v._clouds) if f not in live_ids]:
+            v.remove_keyframe(fid)  # evicted keyframes leave the display
+        self._viewer_colors = {
+            f: c for f, c in self._viewer_colors.items() if f in live_ids
+        }
 
     # --------------------------------------------------------------- output
 

@@ -6,8 +6,34 @@ import pytest
 
 from mast3r_slam_tpu.ops.attention import (
     attention_reference,
+    attention_xla,
     flash_attention,
 )
+
+
+@pytest.mark.parametrize("sq,skv,d", [(768, 768, 64), (432, 768, 64)])
+def test_xla_path_matches_reference(rng, sq, skv, d):
+    """The short-sequence dispatch target (ViT regime) vs the f32 oracle."""
+    b, h = 2, 4
+    q = jnp.asarray(rng.normal(size=(b, h, sq, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, skv, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, skv, d)).astype(np.float32))
+    out_ref = attention_reference(q, k, v)
+    out = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=2e-5)
+
+
+def test_xla_path_bf16(rng):
+    """bf16 inputs: f32 accumulation keeps the error in the bf16 band."""
+    b, h, s, d = 1, 4, 256, 64
+    q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    out_ref = attention_reference(q, k, v)
+    out = attention_xla(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+    ).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=3e-2)
 
 
 @pytest.mark.parametrize("s,d", [(256, 64), (384, 64), (256, 128)])

@@ -14,7 +14,11 @@ iteration is ONE fused XLA program:
 * block scatter-add into the [K, K, 7, 7] Hessian uses XLA scatter
   (deterministic, duplicate-safe),
 * Cholesky + retraction run on device; iterations are a lax.while_loop with
-  an on-device convergence predicate (no `.item()` host syncs anywhere).
+  an on-device convergence predicate (no `.item()` host syncs anywhere),
+* the frontend pose loops run in structure-of-arrays layout ([*, N], N on
+  the TPU lane axis) with the measurement chain rule folded analytically —
+  see `_pose_gn_loop_rays_soa` — ~9x the [N, 4, 7] einsum formulation,
+  whose 7-wide trailing dim pads to the 128-lane tile.
 
 A key algebraic simplification this build exploits: with consistent left
 perturbations, dX_Ci/dxi_i = -dX_Ci/dxi_j exactly (conjugation by Ti), so
@@ -89,45 +93,70 @@ def _edge_system(
 
     Returns S [E,7,7], b [E,7] (gradient contribution of pose j; pose i gets
     -b), and the scalar cost.
+
+    SoA layout (same rationale as `_pose_gn_loop_rays_soa`): per-point
+    Jacobian stacks live as [E, R, 7, N] with N on the lane axis, never as
+    [E, N, R, 7] (whose trailing 7 pads to the 128-lane tile), and the
+    chain Jp @ Ad_inv is expanded analytically — Jp = [I | -[P]x | P] means
+        (Jp Ad)[r, c] = Ad[r, c] + (-[P]x)[r, :] . Ad[3:6, c] + P_r Ad[6, c]
+    which is three fused multiply-adds per entry instead of a batched
+    [3, 7] matmul per point. The 7x7 blocks then reduce with ONE batched
+    [7, RN] x [RN, 7] MXU matmul per edge.
     """
     Ti = Twc[ii]  # [E, 8]
     Tj = Twc[jj]
     Tij = lie.sim3_mul(lie.sim3_inv(Ti), Tj)  # [E, 8]
 
     Xi = jnp.take_along_axis(Xs[ii], idx_ii2jj[..., None], axis=1)  # [E, N, 3]
-    Xj = Xs[jj]  # [E, N, 3]
-    X_Ci = lie.sim3_act(Tij[:, None, :], Xj)  # [E, N, 3]
+    Xi_t = Xi.transpose(0, 2, 1)  # [E, 3, N]
+    Xj_t = Xs[jj].transpose(0, 2, 1)  # [E, 3, N]
 
-    Jp = lie.point_jacobian(X_Ci)  # [E, N, 3, 7] (left perturbation)
-    Ad_inv = lie.sim3_adjoint(lie.sim3_inv(Ti))  # [E, 7, 7]
-    # dX_Ci/dxi_j = Jp @ Ad_{Ti^-1}; dX_Ci/dxi_i = -same.
-    JpAd = jnp.einsum("enab,ebc->enac", Jp, Ad_inv)  # [E, N, 3, 7]
+    # P = Tij . Xj in SoA: per-edge quaternion rotate + scale + translate.
+    t, q, s = Tij[:, :3], Tij[:, 3:7], Tij[:, 7:8]
+    qv = q[:, :3, None]  # [E, 3, 1]
+    qw = q[:, 3:4, None]
+    uv = 2.0 * _cross_soa(jnp.broadcast_to(qv, Xj_t.shape), Xj_t)
+    P = s[:, :, None] * (
+        Xj_t + qw * uv + _cross_soa(jnp.broadcast_to(qv, uv.shape), uv)
+    ) + t[:, :, None]  # [E, 3, N]
+    x, y, z = P[:, 0], P[:, 1], P[:, 2]  # [E, N]
+
+    Ad = lie.sim3_adjoint(lie.sim3_inv(Ti))  # [E, 7, 7]
+    # JpAd rows [E, 7, N]: (Jp @ Ad)[r] expanded analytically (see above).
+    A_r = Ad[:, :, :, None]  # [E, 7(b), 7(c), 1] broadcast helper
+    xn, yn, zn = x[:, None, :], y[:, None, :], z[:, None, :]  # [E, 1, N]
+    JpAd0 = A_r[:, 0] + zn * A_r[:, 4] - yn * A_r[:, 5] + xn * A_r[:, 6]
+    JpAd1 = A_r[:, 1] - zn * A_r[:, 3] + xn * A_r[:, 5] + yn * A_r[:, 6]
+    JpAd2 = A_r[:, 2] + yn * A_r[:, 3] - xn * A_r[:, 4] + zn * A_r[:, 6]
+    # each [E, 7, N]
 
     if mode in ("rays", "points"):
         sigma_inv = 1.0 / p.sigma_ray
-        r = sigma_inv * (X_Ci - Xi)  # [E, N, 3]
-        J = sigma_inv * JpAd  # [E, N, 3, 7]
-        gate = jnp.ones(r.shape[:2], dtype=r.dtype)
+        r = sigma_inv * (P - Xi_t)  # [E, 3, N]
+        Jrows = [sigma_inv * JpAd0, sigma_inv * JpAd1, sigma_inv * JpAd2]
+        gate = jnp.ones(r.shape[:1] + r.shape[2:], dtype=r.dtype)  # [E, N]
         if mode == "points":
-            scale = 1.0 / (jnp.linalg.norm(Xi, axis=-1) + 1e-6)  # [E, N]
-            r = r * scale[..., None]
-            J = J * scale[..., None, None]
+            scale = 1.0 / (
+                jnp.sqrt(jnp.sum(Xi_t * Xi_t, axis=1)) + 1e-6
+            )  # [E, N]
+            r = r * scale[:, None, :]
+            sc = scale[:, None, :]
+            Jrows = [sc * Jrows[0], sc * Jrows[1], sc * Jrows[2]]
     elif mode == "calib":
         assert K_intr is not None and img_size is not None
-        h, w = img_size
+        h, w_img = img_size
         fx, fy = K_intr[0, 0], K_intr[1, 1]
         sp_inv = 1.0 / p.sigma_pixel
         sd_inv = 1.0 / p.sigma_depth
-        zi = Xi[..., 2]
-        zj = X_Ci[..., 2]
+        zi = Xi_t[:, 2]
         zi_safe = jnp.maximum(zi, 1e-6)
-        zj_safe = jnp.maximum(zj, 1e-6)
+        zj_safe = jnp.maximum(z, 1e-6)
         zi_inv, zj_inv = 1.0 / zi_safe, 1.0 / zj_safe
 
-        uj = fx * X_Ci[..., 0] * zj_inv + K_intr[0, 2]
-        vj = fy * X_Ci[..., 1] * zj_inv + K_intr[1, 2]
-        ui = fx * Xi[..., 0] * zi_inv + K_intr[0, 2]
-        vi = fy * Xi[..., 1] * zi_inv + K_intr[1, 2]
+        uj = fx * x * zj_inv + K_intr[0, 2]
+        vj = fy * y * zj_inv + K_intr[1, 2]
+        ui = fx * Xi_t[:, 0] * zi_inv + K_intr[0, 2]
+        vi = fy * Xi_t[:, 1] * zi_inv + K_intr[1, 2]
 
         r = jnp.stack(
             [
@@ -135,44 +164,42 @@ def _edge_system(
                 sp_inv * (vj - vi),
                 sd_inv * (jnp.log(zj_safe) - jnp.log(zi_safe)),
             ],
-            axis=-1,
-        )
-        # Whitened projection Jacobian wrt X_Ci, chained into JpAd.
-        zero = jnp.zeros_like(zj)
-        dproj = jnp.stack(
-            [
-                jnp.stack(
-                    [sp_inv * fx * zj_inv, zero, -sp_inv * fx * X_Ci[..., 0] * zj_inv**2],
-                    axis=-1,
-                ),
-                jnp.stack(
-                    [zero, sp_inv * fy * zj_inv, -sp_inv * fy * X_Ci[..., 1] * zj_inv**2],
-                    axis=-1,
-                ),
-                jnp.stack([zero, zero, sd_inv * zj_inv], axis=-1),
-            ],
-            axis=-2,
-        )  # [E, N, 3, 3]
-        J = jnp.einsum("enra,enac->enrc", dproj, JpAd)
-        # Pose-dependent gating: positive depth both sides + in-bounds proj.
+            axis=1,
+        )  # [E, 3, N]
+        # Whitened projection rows folded into the JpAd rows:
+        # dproj = [[a, 0, -a*x/zj], [0, b, -b*y/zj], [0, 0, sd_inv/zj]]
+        a = (sp_inv * fx * zj_inv)[:, None, :]
+        b2 = (sp_inv * fy * zj_inv)[:, None, :]
+        Jrows = [
+            a * JpAd0 - (a * x[:, None, :] * zj_inv[:, None, :]) * JpAd2,
+            b2 * JpAd1 - (b2 * y[:, None, :] * zj_inv[:, None, :]) * JpAd2,
+            (sd_inv * zj_inv)[:, None, :] * JpAd2,
+        ]
         b_ = p.pixel_border
         gate = (
-            (zj > p.z_eps)
+            (z > p.z_eps)
             & (zi > p.z_eps)
             & (uj >= b_)
-            & (uj < w - b_)
+            & (uj < w_img - b_)
             & (vj >= b_)
             & (vj < h - b_)
         ).astype(r.dtype)
     else:  # pragma: no cover
         raise ValueError(f"unknown GN mode {mode!r}")
 
-    sqrt_conf = jnp.sqrt(jnp.maximum(Q, 0.0))  # [E, N]
-    hub = huber_weight(sqrt_conf[..., None] * r, p.huber_k)  # [E, N, R]
-    w = hub * (Q * weight_mask * gate)[..., None]  # [E, N, R]
+    sqrt_conf = jnp.sqrt(jnp.maximum(Q, 0.0))[:, None, :]  # [E, 1, N]
+    hub = huber_weight(sqrt_conf * r, p.huber_k)  # [E, 3, N]
+    w = hub * (Q * weight_mask * gate)[:, None, :]  # [E, 3, N]
+    sw = jnp.sqrt(w)
 
-    S = jnp.einsum("enr,enrc,enrd->ecd", w, J, J)  # [E, 7, 7]
-    b = jnp.einsum("enr,enrc->ec", w * r, J)  # [E, 7]
+    E, _, N = r.shape
+    # Weighted Jacobian [E, 7, 3N] and residual [E, 3N]: S = A A^T, b = A wr.
+    A = jnp.concatenate(
+        [sw[:, k : k + 1] * Jrows[k] for k in range(3)], axis=2
+    )  # [E, 7, 3N], last axis ordered [r0 all-n | r1 all-n | r2 all-n]
+    br = (sw * r).reshape(E, 3 * N)  # [E, 3N] — same row-major ordering
+    S = jnp.einsum("ecm,edm->ecd", A, A)  # [E, 7, 7]
+    b = jnp.einsum("ecm,em->ec", A, br)  # [E, 7]
     cost = 0.5 * jnp.sum(w * r * r)
     return S, b, cost
 
@@ -317,21 +344,106 @@ def gauss_newton_pose_rays(
     ray-dist Jacobian and the left-perturbation point Jacobian
     (parity: reference tracker.py:258-324, but the 7x7 solve happens on
     device and the iteration loop is a lax.while_loop with the reference's
-    rel_error/delta_norm convergence rule).
+    rel_error/delta_norm convergence rule). Runs in SoA layout — see
+    `_pose_gn_loop_rays_soa`.
     """
-    from mast3r_slam_tpu.geometry import point_to_ray_dist
-
     p = params
 
-    def system(T):
-        X_Ck = lie.sim3_act(T[None, :], Xf)  # [N, 3]
-        rd_f, drd_dX = point_to_ray_dist(X_Ck, jacobian=True)  # [N,4],[N,4,3]
-        Jp = lie.point_jacobian(X_Ck)  # [N, 3, 7]
-        r = rd_k - rd_f  # [N, 4]
-        J = -jnp.einsum("nab,nbc->nac", drd_dX, Jp)  # [N, 4, 7]
-        return r, J
+    return _pose_gn_loop_rays_soa(
+        T_init, Xf.T, rd_k.T, sqrt_info.T, p
+    )
 
-    return _pose_gn_loop(T_init, system, sqrt_info, p)
+
+def _cross_soa(a, b):
+    """Cross product of [..., 3, N] component stacks (SoA layout)."""
+    a0, a1, a2 = a[..., 0, :], a[..., 1, :], a[..., 2, :]
+    b0, b1, b2 = b[..., 0, :], b[..., 1, :], b[..., 2, :]
+    return jnp.stack(
+        [a1 * b2 - a2 * b1, a2 * b0 - a0 * b2, a0 * b1 - a1 * b0], axis=-2
+    )
+
+
+def _pose_gn_loop_rays_soa(
+    T_init, Xt, rdk_t, w_t, p: GNParams, rel_error: float = 1e-3
+):
+    """Ray-dist tracker GN in structure-of-arrays layout: Xt [3, N],
+    rdk_t / w_t [4, N].
+
+    TPU layout note: the generic loop materializes [N, 4, 7] Jacobian
+    stacks whose trailing dims land on the (sublane, lane) tiles — lane 7
+    pads to 128, an ~18x bandwidth tax. Here N stays on the lane axis
+    throughout and the normal equations reduce with ONE [7, 4N] x [4N, 7]
+    MXU matmul. The chain rule is also folded analytically: with P = d*r,
+        drd/dX @ [I | -[P]x | P]  =  [ d^-1(I - r r^T) | -[r]x | 0 ]
+                                     [       r^T       |   0   | d ]
+    (the ray rows' scale column vanishes because (I - r r^T) P = 0), so no
+    per-point matrix products are formed at all. Semantics identical to the
+    generic `_pose_gn_loop` (same residuals, weights, convergence rule).
+    """
+
+    def solve_step(T):
+        t, q, s = T[:3], T[3:7], T[7]
+        qv, qw = q[:3, None], q[3]
+        uv = 2.0 * _cross_soa(jnp.broadcast_to(qv, Xt.shape), Xt)
+        P = s * (Xt + qw * uv + _cross_soa(jnp.broadcast_to(qv, uv.shape), uv))
+        P = P + t[:, None]  # [3, N]
+        # same epsilon as geometry.point_to_dist (parity with the generic path)
+        d = jnp.sqrt(jnp.sum(P * P, axis=0) + 1e-10)  # [N]
+        dinv = 1.0 / d
+        r0, r1, r2 = P[0] * dinv, P[1] * dinv, P[2] * dinv
+        res = jnp.stack(
+            [rdk_t[0] - r0, rdk_t[1] - r1, rdk_t[2] - r2, rdk_t[3] - d]
+        )  # [4, N]
+
+        wr = w_t * res
+        robust = w_t * jnp.sqrt(huber_weight(wr, p.huber_k))
+        z = jnp.zeros_like(d)
+        # J = -(drd/dX @ Jp): rows stacked as B[r][a] over a in 0..6
+        jrow = [
+            [dinv * (1.0 - r0 * r0), -dinv * r0 * r1, -dinv * r0 * r2,
+             z, r2, -r1, z],
+            [-dinv * r1 * r0, dinv * (1.0 - r1 * r1), -dinv * r1 * r2,
+             -r2, z, r0, z],
+            [-dinv * r2 * r0, -dinv * r2 * r1, dinv * (1.0 - r2 * r2),
+             r1, -r0, z, z],
+            [r0, r1, r2, z, z, z, d],
+        ]
+        # Weighted stack Bm [7, 4N]: row a = robust[r] * (-jrow[r][a]) over r
+        Bm = jnp.stack(
+            [
+                jnp.concatenate([-robust[r] * jrow[r][a] for r in range(4)])
+                for a in range(7)
+            ]
+        )
+        b = (robust * res).reshape(-1)  # [4N]
+        H = Bm @ Bm.T  # [7, 7] (MXU: contraction over 4N lanes)
+        g = Bm @ b
+        cost = 0.5 * jnp.sum(b * b)
+        tau = cholesky_solve(H, -g, reg=p.reg)
+        tau = jnp.where(jnp.all(jnp.isfinite(tau)), tau, jnp.zeros_like(tau))
+        return lie.sim3_retract(T, tau), tau, cost
+
+    def cond(carry):
+        _, it, old_cost, new_cost, delta_norm = carry
+        converged = (
+            jnp.abs(old_cost - new_cost) / (old_cost + 1e-10) < rel_error
+        ) | (delta_norm < p.delta_thresh)
+        return (it < p.max_iter) & ~((it > 0) & converged)
+
+    def body(carry):
+        T, it, _old, new_cost, _dn = carry
+        T_new, tau, cost = solve_step(T)
+        return T_new, it + 1, new_cost, cost, jnp.linalg.norm(tau)
+
+    init = (
+        T_init,
+        0,
+        jnp.asarray(jnp.inf, T_init.dtype),
+        jnp.asarray(jnp.inf, T_init.dtype),
+        jnp.asarray(jnp.inf, T_init.dtype),
+    )
+    T_out, _, _, final_cost, _ = jax.lax.while_loop(cond, body, init)
+    return T_out, final_cost
 
 
 @partial(jax.jit, static_argnames=("img_size", "params"))
@@ -346,23 +458,99 @@ def gauss_newton_pose_calib(
     params: GNParams = GNParams(),
 ) -> tuple[jax.Array, jax.Array]:
     """Calibrated tracker objective: pixel + log-depth residual
-    (parity: reference tracker.py:326-406)."""
-    from mast3r_slam_tpu.geometry import project_calib
-
+    (parity: reference tracker.py:326-406). SoA layout like the rays loop
+    (`_pose_gn_loop_rays_soa`): N stays on the lane axis, the projection
+    chain rule is folded analytically (note the scale column: pixel rows
+    are scale-invariant — row.P = 0 — and log-depth contributes exactly 1),
+    and the normal equations reduce with one [7, 3N] x [3N, 7] matmul."""
     p = params
+    h_img, w_img = img_size
+    fx, fy = K_intr[0, 0], K_intr[1, 1]
+    cx, cy = K_intr[0, 2], K_intr[1, 2]
+    Xt = Xf.T  # [3, N]
+    meas_t = meas_k.T  # [3, N]
+    w_t = sqrt_info.T  # [3, N]
+    vmeas = valid_meas[:, 0]  # [N]
+    eps = 1e-10  # geometry._EPS
 
-    def system(T):
-        X_Ck = lie.sim3_act(T[None, :], Xf)
-        pz, dpz_dX, valid_proj = project_calib(
-            X_Ck, K_intr, img_size, jacobian=True, border=p.pixel_border, z_eps=p.z_eps
+    def solve_step(T):
+        t, q, s = T[:3], T[3:7], T[7]
+        qv, qw = q[:3, None], q[3]
+        uv = 2.0 * _cross_soa(jnp.broadcast_to(qv, Xt.shape), Xt)
+        P = s * (Xt + qw * uv + _cross_soa(jnp.broadcast_to(qv, uv.shape), uv))
+        P = P + t[:, None]  # [3, N]
+        x, y, z = P[0], P[1], P[2]
+        zi = 1.0 / (z + eps)
+        u = fx * x * zi + cx
+        v = fy * y * zi + cy
+        valid = (
+            (u > p.pixel_border)
+            & (u < w_img - 1 - p.pixel_border)
+            & (v > p.pixel_border)
+            & (v < h_img - 1 - p.pixel_border)
+            & (z > p.z_eps)
+            & vmeas
         )
-        Jp = lie.point_jacobian(X_Ck)
-        gate = (valid_proj & valid_meas).astype(T.dtype)  # [N, 1]
-        r = (meas_k - pz) * gate
-        J = -jnp.einsum("nab,nbc->nac", dpz_dX, Jp) * gate[..., None]
-        return r, J
+        gate = valid.astype(T.dtype)  # [N]
+        logz = jnp.where(z > p.z_eps, jnp.log(jnp.maximum(z, eps) + eps), 0.0)
+        res = jnp.stack([meas_t[0] - u, meas_t[1] - v, meas_t[2] - logz]) * gate
 
-    return _pose_gn_loop(T_init, system, sqrt_info, p)
+        wr = w_t * res
+        robust = w_t * jnp.sqrt(huber_weight(wr, p.huber_k)) * gate
+        # Projection rows (d pz / dX, z_inv semantics of project_calib):
+        rows = (
+            (fx * zi, jnp.zeros_like(z), -fx * x * zi * zi),
+            (jnp.zeros_like(z), fy * zi, -fy * y * zi * zi),
+            (jnp.zeros_like(z), jnp.zeros_like(z), zi),
+        )
+        # Fold with Jp = [I | -[P]x | P]: for a row (p0, p1, p2) the w-block
+        # is -(p x P-cross) and the scale entry is row.P; then J = -(...).
+        jrows = []
+        for p0, p1, p2 in rows:
+            jrows.append(
+                [
+                    p0, p1, p2,
+                    -(p1 * z - p2 * y),
+                    -(-p0 * z + p2 * x),
+                    -(p0 * y - p1 * x),
+                    p0 * x + p1 * y + p2 * z,
+                ]
+            )
+        Bm = jnp.stack(
+            [
+                jnp.concatenate([-robust[r] * jrows[r][a] for r in range(3)])
+                for a in range(7)
+            ]
+        )
+        b = (robust * res).reshape(-1)
+        H = Bm @ Bm.T
+        g = Bm @ b
+        cost = 0.5 * jnp.sum(b * b)
+        tau = cholesky_solve(H, -g, reg=p.reg)
+        tau = jnp.where(jnp.all(jnp.isfinite(tau)), tau, jnp.zeros_like(tau))
+        return lie.sim3_retract(T, tau), tau, cost
+
+    def cond(carry):
+        _, it, old_cost, new_cost, delta_norm = carry
+        converged = (
+            jnp.abs(old_cost - new_cost) / (old_cost + 1e-10) < 1e-3
+        ) | (delta_norm < p.delta_thresh)
+        return (it < p.max_iter) & ~((it > 0) & converged)
+
+    def body(carry):
+        T, it, _old, new_cost, _dn = carry
+        T_new, tau, cost = solve_step(T)
+        return T_new, it + 1, new_cost, cost, jnp.linalg.norm(tau)
+
+    init = (
+        T_init,
+        0,
+        jnp.asarray(jnp.inf, T_init.dtype),
+        jnp.asarray(jnp.inf, T_init.dtype),
+        jnp.asarray(jnp.inf, T_init.dtype),
+    )
+    T_out, _, _, final_cost, _ = jax.lax.while_loop(cond, body, init)
+    return T_out, final_cost
 
 
 def _pose_gn_loop(T_init, system, sqrt_info, p: GNParams, rel_error: float = 1e-3):

@@ -38,6 +38,8 @@ _LAZY = {
     "SLAM": ("mast3r_slam_tpu.slam", "SLAM"),
     "load_mast3r": ("mast3r_slam_tpu.models.mast3r", "load_mast3r"),
     "OfflineReconstructor": ("mast3r_slam_tpu.offline", "OfflineReconstructor"),
+    "BatchTracker": ("mast3r_slam_tpu.serving", "BatchTracker"),
+    "LiveViewer": ("mast3r_slam_tpu.viewer", "LiveViewer"),
 }
 
 

@@ -31,9 +31,12 @@ import time
 BASELINE_FPS = 4.6
 
 
-def _device_watchdog(timeout_s: float = 180.0) -> None:
+def _device_watchdog(timeout_s: float = 180.0, retries: int = 4) -> None:
     """Fail fast (instead of hanging the driver) if the device tunnel is
-    wedged: probe a trivial op from a side thread and hard-exit on timeout."""
+    wedged: probe a trivial op from a side thread; on timeout, wait and
+    re-probe (the relay's far side wedges transiently for minutes after an
+    interrupted client — observed repeatedly; a single hard abort would
+    forfeit the run), hard-exiting only after `retries` attempts."""
     import threading
     import os
 
@@ -42,17 +45,29 @@ def _device_watchdog(timeout_s: float = 180.0) -> None:
     def probe():
         import jax.numpy as jnp
 
-        float(jnp.sum(jnp.ones((8, 8))))
-        done.set()
+        while True:
+            try:
+                float(jnp.sum(jnp.ones((8, 8))))
+                done.set()
+                return
+            except Exception:
+                time.sleep(10.0)
 
     threading.Thread(target=probe, daemon=True).start()
-    if not done.wait(timeout_s):
+    for attempt in range(retries):
+        if done.wait(timeout_s):
+            return
         print(
-            f"[bench] device probe timed out after {timeout_s}s — TPU tunnel "
-            "unresponsive; aborting",
+            f"[bench] device probe timed out ({timeout_s}s, attempt "
+            f"{attempt + 1}/{retries}) — waiting for the tunnel to recover",
             file=sys.stderr,
         )
-        os._exit(2)
+    print(
+        f"[bench] TPU tunnel unresponsive after {retries} probe windows; "
+        "aborting",
+        file=sys.stderr,
+    )
+    os._exit(2)
 
 
 def main() -> int:
@@ -226,6 +241,35 @@ def main() -> int:
         f"per frame): {orchestrated:.2f} FPS",
         file=sys.stderr,
     )
+
+    # ---- serving throughput (B sequences per dispatch, secondary) ---------
+    try:
+        from mast3r_slam_tpu.serving import BatchTracker
+
+        B = 4
+        tileB = lambda a: jnp.tile(a[None], (B,) + (1,) * a.ndim)
+        bt = BatchTracker(model)
+        bt.init_from_keyframes(
+            tileB(kf.feat), tileB(kf.pos), tileB(kf.X_canon), tileB(kf.C)
+        )
+        posB = tileB(frame.pos)
+        featsB = [tileB(frame.feat) + i * 1e-4 for i in range(10)]
+        jax.block_until_ready(featsB)
+        bt.step(featsB[0], posB)
+        bt.step(featsB[1], posB)
+        k = 8
+        t0 = time.perf_counter()
+        for i in range(k):
+            bt.step(featsB[2 + i], posB)
+        dt = (time.perf_counter() - t0) / k
+        print(
+            f"[bench] serving: {B} sequences/dispatch -> "
+            f"{B/dt:.1f} tracked frames/s ({dt*1e3:.1f} ms/batch incl. one "
+            f"stats sync)",
+            file=sys.stderr,
+        )
+    except Exception as e:  # serving must never sink the headline metric
+        print(f"[bench] serving leg skipped: {e}", file=sys.stderr)
 
     print(
         json.dumps(

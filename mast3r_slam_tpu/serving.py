@@ -124,9 +124,20 @@ def _make_batch_program(model, cfg, filtering_mode: str, mesh=None):
 
     rep = NamedSharding(mesh, P())
     dp = NamedSharding(mesh, P("dp"))
+    # With a tp axis, shard the ViT weights Megatron-style (column/row
+    # parallel, parallel/sharding.py) instead of replicating: every chip
+    # holds 1/tp of the model and GSPMD inserts one all-reduce per block
+    # over ICI — memory-constrained serving (big model, small per-chip HBM)
+    # without touching the program above.
+    if mesh.shape.get("tp", 1) > 1:
+        from mast3r_slam_tpu.parallel.sharding import infer_param_shardings
+
+        par = infer_param_shardings(model.params, mesh)
+    else:
+        par = rep
     return jax.jit(
         batched,
-        in_shardings=(rep,) + (dp,) * 12,
+        in_shardings=(par,) + (dp,) * 12,
         out_shardings=dp,
     )
 
@@ -138,7 +149,9 @@ class BatchTracker:
     def __init__(self, model, mesh=None):
         """With `mesh` (a jax.sharding.Mesh with a 'dp' axis), sequences
         shard over devices — each chip tracks B/n_dp streams; the batch
-        size must be divisible by the dp axis size."""
+        size must be divisible by the dp axis size. A 'tp' axis > 1
+        additionally shards the model weights Megatron-style across chips
+        (1/tp of the ViT per chip, all-reduce over ICI)."""
         self.model = model
         self.cfg = get_config().tracking
         self.mesh = mesh

@@ -137,6 +137,54 @@ class TestShardedServing:
         )
         np.testing.assert_array_equal(out["tracked"], out_ref["tracked"])
 
+    def test_dp_tp_sharded_matches_unsharded(self, tiny_model, rng):
+        """(dp=2, tp=4) mesh: sequences dp-sharded AND model weights
+        Megatron-sharded over tp — poses must match the single-device
+        batch (model parallelism is numerically transparent)."""
+        import jax
+        from mast3r_slam_tpu.parallel.mesh import make_mesh
+        from mast3r_slam_tpu.parallel.sharding import infer_param_shardings
+
+        set_config(
+            Config.from_dict(
+                {
+                    "matching": {"use_simple": True, "dist_thresh": 1e6},
+                    "tracking": {"min_match_frac": 0.01},
+                }
+            )
+        )
+        B = 4
+        h, w = tiny_model._out_hw
+        feats, poss, Xs, Cs = [], [], [], []
+        for _ in range(B):
+            img = jnp.asarray(rng.uniform(-1, 1, (1, h, w, 3)).astype(np.float32))
+            f, p = tiny_model.encode(img)
+            X, C = tiny_model.mono(f[0], p[0])
+            feats.append(f[0]); poss.append(p[0]); Xs.append(X); Cs.append(C)
+        feats, poss = jnp.stack(feats), jnp.stack(poss)
+        Xs, Cs = jnp.stack(Xs), jnp.stack(Cs)
+
+        ref = BatchTracker(tiny_model)
+        ref.init_from_keyframes(feats, poss, Xs, Cs)
+        out_ref = ref.step(feats, poss)
+
+        mesh = make_mesh(8, tp=4)
+        assert dict(mesh.shape) == {"dp": 2, "tp": 4}
+        # sanity: the inferred specs actually split something over tp
+        specs = infer_param_shardings(tiny_model.params, mesh)
+        leaves = jax.tree_util.tree_leaves(
+            specs, is_leaf=lambda x: hasattr(x, "spec")
+        )
+        assert any("tp" in str(s.spec) for s in leaves)
+
+        bt = BatchTracker(tiny_model, mesh=mesh)
+        bt.init_from_keyframes(feats, poss, Xs, Cs)
+        out = bt.step(feats, poss)
+        np.testing.assert_allclose(
+            np.asarray(out["poses"]), np.asarray(out_ref["poses"]), atol=1e-4
+        )
+        np.testing.assert_array_equal(out["tracked"], out_ref["tracked"])
+
     def test_indivisible_batch_rejected(self, tiny_model, rng):
         from mast3r_slam_tpu.parallel.mesh import make_mesh
 

@@ -476,12 +476,17 @@ class SLAM:
         `clouds` (promotion or periodic refresh) — each publish transforms
         ALL keyframe pointmaps with their CURRENT poses in one device op,
         so backend pose corrections propagate to the display."""
+        if not clouds:
+            # Trajectory-only updates ride the same cadence: stacking the
+            # device-side pose list costs a host sync, and the pipelined
+            # loop budgets exactly ONE sync per frame (the stats bundle).
+            return
         v = self.viewer
         traj = (
             np.asarray(jnp.stack(self.poses)) if self.poses else np.zeros((0, 8))
         )
         v.publish_traj(traj, mode=self.state.mode.name)
-        if not clouds or len(self.keyframes) == 0:
+        if len(self.keyframes) == 0:
             return
         cnt = len(self.keyframes)
         X = self.keyframes.X[:cnt, ::stride]

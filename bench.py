@@ -189,7 +189,11 @@ def main() -> int:
     st = state
     for _ in range(chain):
         st = step_once(*consts, *st)
-    jax.block_until_ready(st[0])
+    # Force COMPLETION of the whole chain with a scalar fetch: on the relay
+    # backend block_until_ready can return before the device finishes (a
+    # post-block fetch was measured to cost a full program time), so a
+    # block-only stop undercounts the last link of the chain.
+    float(st[2])
     per_frame = (time.perf_counter() - t0) / chain
     fps_device = 1.0 / per_frame
     print(

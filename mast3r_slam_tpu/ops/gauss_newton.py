@@ -224,7 +224,7 @@ def gauss_newton_graph(
     K_intr: jax.Array | None = None,
     img_size: tuple[int, int] | None = None,
     params: GNParams = GNParams(),
-    edge_chunk: int = 8,
+    edge_chunk: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Global Sim3 pose-graph GN over dense correspondences.
 
@@ -253,29 +253,47 @@ def gauss_newton_graph(
     freeF = free_mask.astype(Twc.dtype)  # [K]
 
     E = ii.shape[0]
+    if edge_chunk is None:
+        # Adaptive: the scan over edge chunks exists only to bound the
+        # transient working set, but it is EXPENSIVE — measured 44 ms per
+        # iteration of pure scan overhead at 32 edges x 196k pts (the
+        # unchunked edge pass runs in ~7 ms). So take the largest chunk
+        # whose Jacobian/residual transients (~260 B per edge-point in f32)
+        # fit a ~2 GB budget, and only then fall back to scanning.
+        N_pts = Xs.shape[1]
+        budget = 2 * 1024**3
+        edge_chunk = max(1, min(E, budget // max(N_pts * 260, 1)))
     chunk = min(edge_chunk, E)
     while E % chunk:  # edge arenas are power-of-two bucketed; stay safe
         chunk -= 1
 
     def step(Twc_cur):
-        # Scan over edge chunks: bounds the [chunk, N, 3, 7] Jacobian
-        # working set (dense pointmaps at full resolution would otherwise
-        # materialize gigabyte-scale intermediates for wide graphs).
-        def chunk_system(_, args):
-            ii_c, jj_c, idx_c, wm_c, Q_c = args
-            S_c, b_c, cost_c = _edge_system(
-                Twc_cur, Xs, ii_c, jj_c, idx_c, wm_c, Q_c, mode, K_intr, img_size, p
+        if chunk == E:
+            # Single pass — no scan (see the adaptive-chunk note above).
+            S, b, _cost = _edge_system(
+                Twc_cur, Xs, ii, jj, idx_ii2jj, weight_mask, Q,
+                mode, K_intr, img_size, p,
             )
-            return None, (S_c, b_c, cost_c)
+        else:
+            # Scan over edge chunks: bounds the Jacobian working set (dense
+            # pointmaps on wide graphs would otherwise materialize
+            # many-gigabyte intermediates).
+            def chunk_system(_, args):
+                ii_c, jj_c, idx_c, wm_c, Q_c = args
+                S_c, b_c, cost_c = _edge_system(
+                    Twc_cur, Xs, ii_c, jj_c, idx_c, wm_c, Q_c,
+                    mode, K_intr, img_size, p,
+                )
+                return None, (S_c, b_c, cost_c)
 
-        resh = lambda a: a.reshape(E // chunk, chunk, *a.shape[1:])
-        _, (S, b, costs) = jax.lax.scan(
-            chunk_system,
-            None,
-            (resh(ii), resh(jj), resh(idx_ii2jj), resh(weight_mask), resh(Q)),
-        )
-        S = S.reshape(E, 7, 7)
-        b = b.reshape(E, 7)
+            resh = lambda a: a.reshape(E // chunk, chunk, *a.shape[1:])
+            _, (S, b, costs) = jax.lax.scan(
+                chunk_system,
+                None,
+                (resh(ii), resh(jj), resh(idx_ii2jj), resh(weight_mask), resh(Q)),
+            )
+            S = S.reshape(E, 7, 7)
+            b = b.reshape(E, 7)
 
         # Assemble block Hessian [K, K, 7, 7] and gradient [K, 7].
         H = jnp.zeros((K, K, 7, 7), Twc.dtype)

@@ -250,6 +250,8 @@ def main() -> int:
     try:
         from mast3r_slam_tpu.serving import BatchTracker
 
+        # B=4 is the largest batch whose vmapped two-view decode transients
+        # fit v5e HBM (B=8 fails compile with HLO-temp exhaustion).
         B = 4
         tileB = lambda a: jnp.tile(a[None], (B,) + (1,) * a.ndim)
         bt = BatchTracker(model)

@@ -396,8 +396,10 @@ def _pose_gn_loop_rays_soa(
         drd/dX @ [I | -[P]x | P]  =  [ d^-1(I - r r^T) | -[r]x | 0 ]
                                      [       r^T       |   0   | d ]
     (the ray rows' scale column vanishes because (I - r r^T) P = 0), so no
-    per-point matrix products are formed at all. Semantics identical to the
-    generic `_pose_gn_loop` (same residuals, weights, convergence rule).
+    per-point matrix products are formed at all. Semantics are identical to
+    a straightforward [N, R, 7] einsum formulation (same residuals, Huber
+    weights, and rel-error/delta-norm convergence rule — cross-checked by
+    the solver tests and the float64 oracle twin in benchmarks/gn_oracle.py).
     """
 
     def solve_step(T):
@@ -572,42 +574,3 @@ def gauss_newton_pose_calib(
     return T_out, final_cost
 
 
-def _pose_gn_loop(T_init, system, sqrt_info, p: GNParams, rel_error: float = 1e-3):
-    """Shared IRLS/GN loop for the 7-dof tracker solves (device-resident)."""
-
-    def solve_step(T):
-        r, J = system(T)
-        wr = sqrt_info * r
-        robust = sqrt_info * jnp.sqrt(huber_weight(wr, p.huber_k))
-        A = robust[..., None] * J  # [N, R, 7]
-        b = robust * r  # [N, R]
-        H = jnp.einsum("nra,nrb->ab", A, A)
-        g = jnp.einsum("nra,nr->a", A, b)
-        cost = 0.5 * jnp.sum(b * b)
-        tau = cholesky_solve(H, -g, reg=p.reg)
-        # Solver guard (reference analog: try/except around the tracking
-        # solve, tracker.py:139-141): freeze the pose on a failed solve.
-        tau = jnp.where(jnp.all(jnp.isfinite(tau)), tau, jnp.zeros_like(tau))
-        return lie.sim3_retract(T, tau), tau, cost
-
-    def cond(carry):
-        _, it, old_cost, new_cost, delta_norm = carry
-        converged = (
-            jnp.abs(old_cost - new_cost) / (old_cost + 1e-10) < rel_error
-        ) | (delta_norm < p.delta_thresh)
-        return (it < p.max_iter) & ~((it > 0) & converged)
-
-    def body(carry):
-        T, it, _old, new_cost, _dn = carry
-        T_new, tau, cost = solve_step(T)
-        return T_new, it + 1, new_cost, cost, jnp.linalg.norm(tau)
-
-    init = (
-        T_init,
-        0,
-        jnp.asarray(jnp.inf, T_init.dtype),
-        jnp.asarray(jnp.inf, T_init.dtype),
-        jnp.asarray(jnp.inf, T_init.dtype),
-    )
-    T_out, _, _, final_cost, _ = jax.lax.while_loop(cond, body, init)
-    return T_out, final_cost

@@ -205,6 +205,27 @@ def _edge_system(
     return S, b, cost
 
 
+def _resolve_edge_chunk(E: int, n_pts: int, edge_chunk: int | None) -> int:
+    """Pick the edge-chunk size for the graph solve's scan.
+
+    The scan over edge chunks exists only to bound the transient working
+    set, but it is EXPENSIVE — measured 44 ms per iteration of pure scan
+    overhead at 32 edges x 196k pts (the unchunked edge pass runs in
+    ~7 ms). So take the largest chunk whose Jacobian/residual transients
+    (~260 B per edge-point in f32) fit a ~2 GB budget — scanning only
+    engages for graphs that genuinely would not fit — then shrink to a
+    divisor of E (edge arenas are power-of-two bucketed, so this rarely
+    moves).
+    """
+    if edge_chunk is None:
+        budget = 2 * 1024**3
+        edge_chunk = max(1, min(E, budget // max(n_pts * 260, 1)))
+    chunk = min(edge_chunk, E)
+    while E % chunk:
+        chunk -= 1
+    return chunk
+
+
 @partial(
     jax.jit,
     static_argnames=("mode", "img_size", "params", "edge_chunk"),
@@ -253,19 +274,7 @@ def gauss_newton_graph(
     freeF = free_mask.astype(Twc.dtype)  # [K]
 
     E = ii.shape[0]
-    if edge_chunk is None:
-        # Adaptive: the scan over edge chunks exists only to bound the
-        # transient working set, but it is EXPENSIVE — measured 44 ms per
-        # iteration of pure scan overhead at 32 edges x 196k pts (the
-        # unchunked edge pass runs in ~7 ms). So take the largest chunk
-        # whose Jacobian/residual transients (~260 B per edge-point in f32)
-        # fit a ~2 GB budget, and only then fall back to scanning.
-        N_pts = Xs.shape[1]
-        budget = 2 * 1024**3
-        edge_chunk = max(1, min(E, budget // max(N_pts * 260, 1)))
-    chunk = min(edge_chunk, E)
-    while E % chunk:  # edge arenas are power-of-two bucketed; stay safe
-        chunk -= 1
+    chunk = _resolve_edge_chunk(E, Xs.shape[1], edge_chunk)
 
     def step(Twc_cur):
         if chunk == E:

@@ -221,3 +221,31 @@ class TestNumpyOracleTwin:
         corr = np.corrcoef(dev.ravel(), Twc_ref.ravel())[0, 1]
         assert corr > 0.99, f"corr {corr}"
         assert np.abs(dev - Twc_ref).max() < 5e-3
+
+
+class TestEdgeChunkSelection:
+    """Adaptive scan chunking: single pass whenever the transients fit."""
+
+    def test_small_graphs_run_single_pass(self):
+        from mast3r_slam_tpu.ops.gauss_newton import _resolve_edge_chunk
+
+        # bench-scale graph: 30 edges x 1000 pts trivially fits -> no scan
+        assert _resolve_edge_chunk(30, 1000, None) == 30
+        # full SLAM scale: 32 edges x 196k pts still fits the 2 GB budget
+        assert _resolve_edge_chunk(32, 196608, None) == 32
+
+    def test_huge_graphs_chunk_to_budget(self):
+        from mast3r_slam_tpu.ops.gauss_newton import _resolve_edge_chunk
+
+        # 512 edges x 196k pts would need ~26 GB of transients -> chunked,
+        # and the chunk divides E
+        c = _resolve_edge_chunk(512, 196608, None)
+        assert c < 512 and 512 % c == 0
+        assert c * 196608 * 260 <= 2 * 1024**3
+
+    def test_explicit_chunk_respected_and_divides(self):
+        from mast3r_slam_tpu.ops.gauss_newton import _resolve_edge_chunk
+
+        assert _resolve_edge_chunk(32, 10, 8) == 8
+        # non-divisor shrinks to the nearest divisor below
+        assert _resolve_edge_chunk(30, 10, 8) == 6

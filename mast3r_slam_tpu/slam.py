@@ -156,6 +156,9 @@ class SLAM:
         if pending is not None:
             self._finish_frame(*pending)
         self._run_backend(budget=0)  # drain any deferred backend tasks
+        if self.viewer is not None:
+            # final snapshot with the backend's last pose corrections
+            self._publish_viewer(clouds=True)
 
         print(f"Done! {len(self.keyframes)} keyframes, {len(self.poses)} poses")
         if self.metrics:

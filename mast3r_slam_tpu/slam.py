@@ -573,6 +573,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--save-traj", default=None, metavar="PATH")
     ap.add_argument("--traj-format", default="tum", choices=["tum", "kitti"])
     ap.add_argument("--save-ply", default=None, metavar="PATH")
+    ap.add_argument("--viewer-port", type=int, default=None, metavar="PORT",
+                    help="serve the live map/trajectory viewer on this port")
     args = ap.parse_args(argv)
 
     slam = SLAM(
@@ -582,6 +584,8 @@ def main(argv: list[str] | None = None) -> int:
         resolution=args.resolution,
         precision=args.precision,
     )
+    if args.viewer_port is not None:
+        slam.config.runtime.viewer_port = args.viewer_port
     slam.run(args.dataset, max_frames=args.max_frames)
     if args.save_traj:
         slam.save_trajectory(args.save_traj, format=args.traj_format)

@@ -218,7 +218,7 @@ def main() -> int:
 
     class Synthetic(Dataset):
         def __len__(self):
-            return 20
+            return 32
 
         def __getitem__(self, idx):
             return float(idx), frames_u8[idx % len(frames_u8)]
@@ -237,9 +237,11 @@ def main() -> int:
 
     quiet = io.StringIO()
     with contextlib.redirect_stdout(quiet):
-        slam.run(Synthetic(), max_frames=16, callback=cb)
-    steady = frame_times[-8:]
-    orchestrated = 1.0 / (sum(steady) / len(steady))
+        slam.run(Synthetic(), max_frames=24, callback=cb)
+    # median of the steady half: the relay's per-RTT jitter (tens of ms)
+    # otherwise dominates run-to-run variance of this secondary number
+    steady = sorted(frame_times[-12:])
+    orchestrated = 1.0 / steady[len(steady) // 2]
     print(
         f"[bench] orchestrated SLAM steady-state (incl. one relay round trip "
         f"per frame): {orchestrated:.2f} FPS",

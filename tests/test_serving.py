@@ -185,6 +185,38 @@ class TestShardedServing:
         )
         np.testing.assert_array_equal(out["tracked"], out_ref["tracked"])
 
+    def test_sharded_keyframe_promotion(self, tiny_model, rng):
+        """update_keyframes on dp-sharded state: scatter into sharded
+        arenas must keep tracking working and stay finite."""
+        from mast3r_slam_tpu.parallel.mesh import make_mesh
+
+        set_config(
+            Config.from_dict(
+                {
+                    "matching": {"use_simple": True, "dist_thresh": 1e6},
+                    "tracking": {"min_match_frac": 0.0},
+                }
+            )
+        )
+        B = 8
+        h, w = tiny_model._out_hw
+        img = jnp.asarray(rng.uniform(-1, 1, (1, h, w, 3)).astype(np.float32))
+        f, p = tiny_model.encode(img)
+        X, C = tiny_model.mono(f[0], p[0])
+        tile = lambda a: jnp.tile(a[None], (B,) + (1,) * a.ndim)
+        bt = BatchTracker(tiny_model, mesh=make_mesh(8, tp=1))
+        bt.init_from_keyframes(tile(f[0]), tile(p[0]), tile(X), tile(C))
+        bt.step(tile(f[0]), tile(p[0]))
+        bt.update_keyframes(
+            [1, 3],
+            jnp.stack([f[0]] * 2), jnp.stack([p[0]] * 2),
+            jnp.stack([X] * 2), jnp.stack([C] * 2),
+        )
+        out = bt.step(tile(f[0]), tile(p[0]))
+        assert np.isfinite(np.asarray(out["poses"])).all()
+        assert out["tracked"].all()
+        assert float(bt.state.fr_N[1]) == 1.0  # reset then re-fused once
+
     def test_indivisible_batch_rejected(self, tiny_model, rng):
         from mast3r_slam_tpu.parallel.mesh import make_mesh
 

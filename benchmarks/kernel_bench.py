@@ -130,8 +130,51 @@ def bench_refine(rng, quick=False):
     }
 
 
+def _dense_oracle_np(X1, X2, D1, D2, radius):
+    """Float64 numpy twin of match_dense_window (exact window, dil 1):
+    same shifted-tap scan order, same strict-< argmin tie-breaking."""
+    h, w, _ = X1.shape
+    BIG = 1e30
+
+    def rays(X):
+        return X / np.sqrt((X * X).sum(-1, keepdims=True) + 1e-10)
+
+    r1, r2 = rays(X1.astype(np.float64)), rays(X2.astype(np.float64))
+    D1f, D2f = D1.astype(np.float64), D2.astype(np.float64)
+
+    def shifted(img, du, dv, fill):
+        out = np.full_like(img, fill)
+        ys = slice(max(0, -dv), min(h, h - dv))
+        xs = slice(max(0, -du), min(w, w - du))
+        out[ys, xs] = img[max(0, dv) : max(0, dv) + (ys.stop - ys.start),
+                          max(0, du) : max(0, du) + (xs.stop - xs.start)]
+        return out
+
+    best = np.full((h, w), BIG)
+    bdu = np.zeros((h, w), np.int64)
+    bdv = np.zeros((h, w), np.int64)
+    from mast3r_slam_tpu.ops.dense_match import window_taps
+
+    for du, dv in window_taps(radius, (1,)):
+        s1 = shifted(r1, du, dv, BIG)
+        cost = ((s1 - r2) ** 2).sum(-1)
+        cost -= (shifted(D1f, du, dv, 0.0) * D2f).sum(-1)
+        cost = np.where(cost < BIG, cost, BIG)
+        take = cost < best
+        best = np.where(take, cost, best)
+        bdu = np.where(take, du, bdu)
+        bdv = np.where(take, dv, bdv)
+    u = np.clip(np.arange(w)[None, :] + bdu, 0, w - 1)
+    v = np.clip(np.arange(h)[:, None] + bdv, 0, h - 1)
+    return (v * w + u).reshape(-1)
+
+
 def bench_dense_match(rng, quick=False):
-    """Gather-free dense matcher at full tracking resolution."""
+    """Gather-free dense matcher at full tracking resolution.
+
+    Numeric oracle: float64 numpy twin of the tap scan at a reduced size
+    (the bf16 device streams can flip near-ties, so agreement is the
+    fraction of identical argmin picks, not bitwise cost equality)."""
     import jax.numpy as jnp
 
     from mast3r_slam_tpu.ops.dense_match import match_dense_window
@@ -145,11 +188,34 @@ def bench_dense_match(rng, quick=False):
         lambda *a: match_dense_window(*a, radius=6, dilations=(1,)), X, X, D, D
     )
     ident = float((np.asarray(idx)[0] == np.arange(h * w)).mean())
+
+    # oracle at reduced size (full window, same radius)
+    ho, wo = 48, 64
+    Ko = camera_K(ho, wo)
+    Xo = np.asarray(world_surface(rng, ho, wo, Ko)).reshape(ho, wo, 3)
+    X2o = Xo + rng.normal(0, 0.002, Xo.shape)
+    Do = rng.normal(size=(ho, wo, d)).astype(np.float32)
+    Do /= np.linalg.norm(Do, axis=-1, keepdims=True)
+    D2o = rng.normal(size=(ho, wo, d)).astype(np.float32)
+    D2o /= np.linalg.norm(D2o, axis=-1, keepdims=True)
+    t0 = time.perf_counter()
+    idx_ref = _dense_oracle_np(Xo, X2o.astype(np.float32), Do, D2o, radius=6)
+    t_ref = time.perf_counter() - t0
+    idx_dev, _v = match_dense_window(
+        jnp.asarray(Xo)[None], jnp.asarray(X2o.astype(np.float32))[None],
+        jnp.asarray(Do)[None], jnp.asarray(D2o)[None],
+        radius=6, dilations=(1,),
+    )
+    agree = float((np.asarray(idx_dev)[0] == idx_ref).mean())
+
     return {
         "kernel": "dense_match",
         "config": f"{h}x{w} ({h*w} pts), +-6 px window, {d}-d desc",
         "device_ms": t_dev * 1e3,
         "identity_recovery": ident,
+        "oracle_ms": t_ref * 1e3,
+        "oracle_config": f"{ho}x{wo} f64 twin",
+        "oracle_agree": agree,
     }
 
 
@@ -299,6 +365,9 @@ def main(argv=None) -> int:
             if "corr" in r
             else f"exact {r['exact_match_frac']:.3f}"
             if "exact_match_frac" in r
+            else f"agree {r['oracle_agree']:.3f} ({r['oracle_config']}), "
+            f"ident {r['identity_recovery']:.3f}"
+            if "oracle_agree" in r
             else f"ident {r['identity_recovery']:.3f}"
             if "identity_recovery" in r
             else f"maxdiff {r.get('max_diff', float('nan')):.2e}"

@@ -113,10 +113,14 @@ class LocalOptConfig:
     # shapes under jit must be static, so edges live in a fixed arena.
     max_edges: int = 256
     # Backend tasks processed per frame (0 = drain everything each frame,
-    # the reference's serialized behavior). A bound interleaves backend
-    # solves with subsequent frames' tracking, spreading the new-keyframe
-    # latency spike; run() drains leftovers at sequence end.
-    backend_tasks_per_frame: int = 0
+    # the reference's serialized behavior). The default bound of 1
+    # interleaves backend solves with subsequent frames' tracking — with
+    # pipelined tracking the next frame's fused program is already queued
+    # on the device stream, so the new-keyframe latency spike spreads into
+    # overlap instead of stalling the loop; run() drains leftovers at
+    # sequence end. Trajectory effect: pose corrections land at most one
+    # frame later than the reference's serialized drain.
+    backend_tasks_per_frame: int = 1
 
 
 @dataclass
@@ -187,9 +191,10 @@ class RuntimeConfig:
     # off. Open http://<host>:<port>/ in a browser (plain port-forward
     # suffices — no websockets, no external assets).
     viewer_port: int = 0
-    # Frames between full point-cloud republishes to the viewer (the
-    # trajectory updates every frame; clouds also refresh on keyframe
-    # promotion so backend pose updates propagate).
+    # Frames between viewer publishes (trajectory + point clouds update
+    # together at this cadence, and additionally on keyframe promotion so
+    # backend pose updates propagate; per-frame publishing would cost a
+    # host sync per frame).
     viewer_refresh: int = 10
 
 

@@ -475,8 +475,11 @@ class SLAM:
 
     def _publish_viewer(self, clouds: bool, stride: int = 16) -> None:
         """Push current state to the live viewer (host-side, non-blocking
-        for clients). Trajectory every call; keyframe clouds only when
-        `clouds` (promotion or periodic refresh) — each publish transforms
+        for clients). Publishes trajectory AND keyframe clouds together at
+        the `clouds` cadence (keyframe promotion or every
+        `runtime.viewer_refresh` frames): stacking the device-side pose
+        list costs a host sync, and the tracking loop budgets its syncs —
+        so nothing is published on other frames. Each publish transforms
         ALL keyframe pointmaps with their CURRENT poses in one device op,
         so backend pose corrections propagate to the display."""
         if not clouds:

@@ -218,33 +218,34 @@ def main() -> int:
 
     class Synthetic(Dataset):
         def __len__(self):
-            return 32
+            return 96
 
         def __getitem__(self, idx):
             return float(idx), frames_u8[idx % len(frames_u8)]
 
     # Steady state only: the first frames absorb the remaining compiles
-    # (warm-start-idx trace variant etc.), measured via per-frame callback.
+    # (warm-start-idx trace variant, chained-promotion branch), measured via
+    # per-frame callback stamps. The zero-sync chained loop drains stats in
+    # windows (runtime.sync_every), so frames complete in bursts — the
+    # honest number is AGGREGATE steady-state throughput (frames / elapsed
+    # over whole windows), not a per-frame median.
     slam = SLAM(model=model, resolution=resolution)
-    frame_times = []
-    last = [None]
+    stamps = []
 
     def cb(fr, kfs):
-        now = time.perf_counter()
-        if last[0] is not None:
-            frame_times.append(now - last[0])
-        last[0] = now
+        stamps.append(time.perf_counter())
 
+    sync_every = slam.config.runtime.sync_every
+    n_run = 6 * sync_every
     quiet = io.StringIO()
     with contextlib.redirect_stdout(quiet):
-        slam.run(Synthetic(), max_frames=24, callback=cb)
-    # median of the steady half: the relay's per-RTT jitter (tens of ms)
-    # otherwise dominates run-to-run variance of this secondary number
-    steady = sorted(frame_times[-12:])
-    orchestrated = 1.0 / steady[len(steady) // 2]
+        slam.run(Synthetic(), max_frames=n_run, callback=cb)
+    steady = 3 * sync_every  # last 3 whole windows
+    orchestrated = steady / (stamps[-1] - stamps[-1 - steady])
     print(
-        f"[bench] orchestrated SLAM steady-state (incl. one relay round trip "
-        f"per frame): {orchestrated:.2f} FPS",
+        f"[bench] orchestrated SLAM steady-state (zero-sync chained loop, "
+        f"1 relay round trip per {sync_every} frames): "
+        f"{orchestrated:.2f} FPS",
         file=sys.stderr,
     )
 
@@ -252,9 +253,10 @@ def main() -> int:
     try:
         from mast3r_slam_tpu.serving import BatchTracker
 
-        # B=4 is the largest batch whose vmapped two-view decode transients
-        # fit v5e HBM (B=8 fails compile with HLO-temp exhaustion).
-        B = 4
+        # B=8 via the in-dispatch microbatch scan (runtime.serving_microbatch
+        # = 4): decode/DPT transients stay at the B=4 working set that fits
+        # v5e HLO-temp memory, launch overhead amortizes over 8 sequences.
+        B = 8
         tileB = lambda a: jnp.tile(a[None], (B,) + (1,) * a.ndim)
         bt = BatchTracker(model)
         bt.init_from_keyframes(

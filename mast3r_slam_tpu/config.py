@@ -138,8 +138,10 @@ class RetrievalConfig:
     asmk_n_words: int = 256
     asmk_proj_dim: int = 64
     # keyframes accumulated before the ASMK codebook is fit (until then the
-    # database answers with signature retrieval)
-    asmk_codebook_kf: int = 4
+    # database answers with signature retrieval). The codebook also
+    # re-fits from the live map whenever the database doubles past the
+    # last fit size (retrieval_db._asmk_add).
+    asmk_codebook_kf: int = 8
 
 
 @dataclass
@@ -174,10 +176,27 @@ class RuntimeConfig:
     # (keyframe decisions lag one frame; deviations re-dispatch). Turns the
     # per-frame host round trip into overlap with device compute.
     pipeline: bool = True
+    # Zero-sync chained tracking: frames per host sync. The keyframe/skip
+    # decision runs ON DEVICE inside the fused program (lax.cond promotes
+    # the frame to the chain's current keyframe, mono decode included), so
+    # the host only drains a tiny per-frame event bundle every
+    # `sync_every` frames — over a high-latency link the per-frame round
+    # trip disappears from the critical path. 1 = sync every frame (the
+    # reference-like cadence). Tracking-failure relocalization still
+    # rewinds to the failed frame and replays host-side (rare path).
+    # Backend pose corrections land at window granularity instead of
+    # frame granularity; keyframe/skip decisions are pose-independent and
+    # unaffected.
+    sync_every: int = 8
     # periodic SLAM-state snapshots (0 = off); long runs resume via
     # SLAM.load_state (SURVEY §5.4 — the reference had no checkpointing)
     snapshot_every: int = 0
     snapshot_path: str = "slam_state.npz"
+    # Serving (BatchTracker): run the sequence batch as an in-dispatch
+    # lax.scan over chunks of this size so decoder/DPT activation
+    # transients scale with the chunk, not the batch (v5e compiles B=4
+    # flat but OOMs HLO temps at B=8; chunked, B=8/16 fit). 0 = flat vmap.
+    serving_microbatch: int = 4
     # Keyframe eviction when the arena is full: "covisibility" drops the
     # lowest-edge-degree keyframe outside the protected set (gauge anchors
     # + the most recent `eviction_protect`); "off" restores the hard

@@ -108,15 +108,23 @@ class SLAM:
         self._t_start = time.perf_counter()
         self._last_T_WC = None
 
-        # Pipelined tracking (runtime.pipeline): frame i+1 is DISPATCHED
-        # (one fused device program, no sync) before frame i's scalar stats
-        # are fetched, so the per-frame host round trip overlaps device
-        # compute. Keyframe/reloc decisions lag one frame; when frame i
-        # deviates (new KF, reloc, skip), the in-flight dispatch for i+1 is
-        # simply redone against the corrected state. The reference
-        # serialized everything (slam.py:124-153); upstream MASt3R-SLAM's
-        # async frontend/backend split tolerates exactly this one-frame lag.
-        pending: Optional[tuple] = None
+        # Zero-sync chained tracking (runtime.pipeline + runtime.sync_every):
+        # each frame is ONE fused device dispatch whose keyframe/skip
+        # decision (including mono decode + keyframe-state switch on
+        # promotion) runs on device, so consecutive frames chain through
+        # device futures with no host round trip. The host drains a tiny
+        # stats/event bundle every `sync_every` frames — over a relay with
+        # ~40 ms RTT this is the difference between device-bound and
+        # link-bound FPS. Tracking failure (reloc) rewinds to the failed
+        # frame and replays host-side. The reference serialized everything
+        # through the host (slam.py:124-153).
+        window: list[tuple] = []
+        sync_every = max(1, self.config.runtime.sync_every)
+
+        def flush_window() -> None:
+            if window:
+                entries, window[:] = list(window), []
+                self._drain_window(entries)
 
         for i, (timestamp, processed) in enumerate(loader(max_frames=n_frames)):
             # Ship the uint8 crop and normalize ON DEVICE: 4x fewer bytes on
@@ -128,33 +136,20 @@ class SLAM:
                 self._initialize_state(h, w)
             frame = create_frame(i, jnp.asarray(img_u8))
 
-            handle = None
             use_pipeline = (
                 self.config.runtime.pipeline and self.tracker.can_pipeline
             )
             if use_pipeline and self.state.mode == Mode.TRACKING:
                 handle = self.tracker.dispatch(frame, T_init=self._last_T_WC)
-                epoch = (self.state.mode, len(self.keyframes))
+                if handle is not None:
+                    window.append((frame, timestamp, handle))
+                    if len(window) >= sync_every:
+                        flush_window()
+                    continue
+            flush_window()
+            self._step_sync(frame, timestamp)
 
-            if pending is not None:
-                self._finish_frame(*pending)
-                pending = None
-                if handle is not None and epoch != (
-                    self.state.mode, len(self.keyframes)
-                ):
-                    # speculation deviated (KF appended / mode change /
-                    # backend pose update): redo against corrected state
-                    handle = self.tracker.dispatch(
-                        frame, T_init=self._last_T_WC
-                    )
-
-            if handle is not None:
-                pending = (frame, timestamp, handle)
-            else:
-                self._step_sync(frame, timestamp)
-
-        if pending is not None:
-            self._finish_frame(*pending)
+        flush_window()
         self._run_backend(budget=0)  # drain any deferred backend tasks
         if self.viewer is not None:
             # final snapshot with the backend's last pose corrections
@@ -181,24 +176,78 @@ class SLAM:
             self._process_reloc(frame)
         self._bookkeep(frame, timestamp)
 
-    def _finish_frame(self, frame: Frame, timestamp: float, handle) -> None:
-        """Resolve a pipelined dispatch: ONE stats sync, then mode logic."""
-        new_kf, _info, try_reloc = self.tracker.resolve(handle)
-        if try_reloc:
-            self._frame_events["skipped"] = True
-            self.state.mode = Mode.RELOC
-            self._process_reloc(frame)
-        elif new_kf:
-            self._promote_keyframe(frame)
-        self._bookkeep(frame, timestamp)
+    def _drain_window(self, entries: list[tuple]) -> None:
+        """Resolve a window of chained dispatches: ONE stats sync for the
+        whole window, then per-frame host bookkeeping driven by the
+        on-device event codes (0 tracked / 1 promoted / 2 skipped). On a
+        skip the chain is aborted, the frame goes through relocalization,
+        and the window's remaining frames replay synchronously (their
+        chained results assumed the skipped frame never happened)."""
+        from mast3r_slam_tpu.tracker import EVENT_NEW_KF, EVENT_SKIP
+
+        handles = [h for (_f, _t, h) in entries]
+        stats = self.tracker.sync_chain(handles)  # [K, 6] — the ONE sync
+        cur = self.keyframes.last_index()
+        pose_dirty = False
+        deferred: list[tuple] = []
+        completed = True
+        for j, (frame, timestamp, handle) in enumerate(entries):
+            out = handle["out"]
+            event = int(round(float(stats[j, 3])))
+            if event == EVENT_SKIP:
+                # Write back the chain's keyframe state as of the failure
+                # (fusions from this window's earlier frames), then rewind.
+                self.keyframes.write_pointmap(
+                    cur, out["ret_X"], out["ret_C"], float(stats[j, 5])
+                )
+                self.tracker.commit_chain_frame(handle, stats[j], tracked=False)
+                self.tracker.abort_chain()
+                print(f"Skipped frame {frame.frame_id}")
+                self._frame_events["skipped"] = True
+                self.state.mode = Mode.RELOC
+                self._process_reloc(frame)
+                self._bookkeep(frame, timestamp)
+                deferred = entries[j + 1 :]
+                completed = False
+                break
+            self.tracker.commit_chain_frame(handle, stats[j])
+            if event == EVENT_NEW_KF:
+                # Retire the old keyframe's fused state into its slot; the
+                # frame's new-keyframe state (mono pointmap) came from the
+                # on-device promotion branch.
+                self.keyframes.write_pointmap(
+                    cur, out["ret_X"], out["ret_C"], float(stats[j, 5])
+                )
+                frame.X_canon, frame.C = out["kf_X"], out["kf_C"]
+                victim = self._evict_if_full()
+                if victim is not None and victim < cur:
+                    cur -= 1
+                kf_idx = self.keyframes.append(frame)
+                self.retrieval_db.update(frame, add_after_query=True)
+                self.state.queue_global_optimization(kf_idx)
+                self._frame_events["new_kf"] = True
+                cur = kf_idx
+            if self._bookkeep(frame, timestamp):
+                pose_dirty = True
+        if completed:
+            # Flush the chain's latest keyframe state into the arena and
+            # re-anchor the chain (slot moves, backend pose corrections).
+            out = entries[-1][2]["out"]
+            self.keyframes.write_pointmap(
+                cur, out["kf_X"], out["kf_C"], float(stats[-1, 4])
+            )
+            self.tracker.refresh_chain(cur, pose_dirty)
+        for frame, timestamp, _h in deferred:
+            self._step_sync(frame, timestamp)
 
     def _promote_keyframe(self, frame: Frame) -> None:
-        """New-keyframe path shared by sync and pipelined tracking. The
-        frame's encoder tokens are already cached (fused program output), so
-        mono inference is a single decode dispatch."""
+        """New-keyframe path for synchronous tracking. The frame's encoder
+        tokens are already cached (fused program output), so mono inference
+        is a single decode dispatch."""
         X, C, feat, pos = mast3r_inference_mono(self.model, frame)
         frame.X_canon, frame.C, frame.feat, frame.pos = X, C, feat, pos
         frame.N = frame.N_updates = 1
+        self.tracker.abort_chain()  # sync-path promotion invalidates a chain
         self._evict_if_full()
         kf_idx = self.keyframes.append(frame)
         self.retrieval_db.update(frame, add_after_query=True)
@@ -235,8 +284,9 @@ class SLAM:
             for t in self.state.global_optimizer_tasks
             if t != victim
         ]
-        # Invalidate tracker caches: arena slots shifted under them.
-        self.tracker._spec = None
+        # Invalidate the tracker's arena-slice cache: slots shifted under
+        # it. A live device chain is NOT dropped — its keyframe state is
+        # self-contained and the caller remaps its slot index.
         self.tracker._kf_cache = None
         print(f"Evicted keyframe {victim} (degree {int(deg[victim])})")
         if self.metrics:
@@ -245,7 +295,8 @@ class SLAM:
             )
         return victim
 
-    def _bookkeep(self, frame: Frame, timestamp: float) -> None:
+    def _bookkeep(self, frame: Frame, timestamp: float) -> int:
+        """Per-frame records + backend drain; returns backend solves run."""
         self.timestamps.append(timestamp)
         # keep poses device-side; exporting converts once at the end
         self.poses.append(frame.T_WC)
@@ -292,6 +343,7 @@ class SLAM:
         snap_every = self.config.runtime.snapshot_every
         if snap_every and self._n_done % snap_every == 0:
             self.save_state(self.config.runtime.snapshot_path)
+        return solves
 
     def _initialize_state(self, h: int, w: int) -> None:
         # Decode resolution = the ACTUAL processed frame shape (preprocess
@@ -321,6 +373,8 @@ class SLAM:
         K = self.keyframes.get_intrinsics() if self.config.use_calib else None
         self.factor_graph = FactorGraph(self.model, self.keyframes, K)
         self.retrieval_db = load_retriever(self.model)
+        # feature source for ASMK codebook re-fits at map-doubling thresholds
+        self.retrieval_db.keyframes = self.keyframes
         if self.config.runtime.metrics_path:
             from mast3r_slam_tpu.utils.metrics import MetricsLogger
 
@@ -388,6 +442,7 @@ class SLAM:
     def _process_reloc(self, frame: Frame) -> None:
         """(parity: slam.py:216-290 — retrieval, tentative KF, rollback)"""
         self._frame_events["reloc"] = True
+        self.tracker.abort_chain()  # reloc rebuilds tracking state from scratch
         X, C, feat, pos = mast3r_inference_mono(self.model, frame)
         frame.X_canon, frame.C, frame.feat, frame.pos = X, C, feat, pos
         frame.N = frame.N_updates = 1
@@ -572,6 +627,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--variant", default="base", choices=["small", "base"])
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    ap.add_argument("--checkpoint", default=None, metavar="PATH",
+                    help="local upstream-layout weights (safetensors/.pth/"
+                    ".npz); overrides model.checkpoint in the config")
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--save-traj", default=None, metavar="PATH")
     ap.add_argument("--traj-format", default="tum", choices=["tum", "kitti"])
@@ -579,6 +637,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--viewer-port", type=int, default=None, metavar="PORT",
                     help="serve the live map/trajectory viewer on this port")
     args = ap.parse_args(argv)
+
+    if args.checkpoint:
+        from mast3r_slam_tpu.config import set_config
+
+        cfg = load_config(args.config) if args.config else get_config()
+        cfg.model.checkpoint = args.checkpoint
+        set_config(cfg)
+        args.config = None  # already installed globally
 
     slam = SLAM(
         config_path=args.config,

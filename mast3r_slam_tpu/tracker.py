@@ -2,10 +2,11 @@
 
 Behavior parity: reference tracker.py:23-406. TPU-native differences:
 
-* The whole post-inference tracking step (confidence fusion, validity
-  gates, GN pose solve, pointmap fusion, keyframe-selection statistics) is
-  ONE jitted program; the only host sync per frame is the final scalar
-  bundle (match fraction / keyframe decision).
+* The whole tracking step (encode, decode, matching, confidence fusion,
+  validity gates, GN pose solve, pointmap fusion, keyframe-selection
+  statistics — and in the chained program, the keyframe/skip DECISION plus
+  conditional promotion with mono decode) is ONE jitted program; the host
+  drains a tiny stats/event bundle once per `runtime.sync_every` frames.
 * The uniqueness statistic uses a scatter-count (static shapes) instead of
   the reference's host-side `mx.unique` (tracker.py:155).
 * `use_calib` is read from the top-level config, fixing the reference's
@@ -234,22 +235,36 @@ _ELEMENTWISE_FUSION = (
 )
 
 
-def _make_fused_track2(
+# Event codes returned per chained frame (stats slot 3).
+EVENT_TRACKED = 0
+EVENT_NEW_KF = 1
+EVENT_SKIP = 2
+
+
+def _make_fused_track_chain(
     model, cfg, filtering_mode: str, img_downsample: int = 1,
     use_calib: bool = False,
 ):
-    """Pipeline-grade per-frame program: ENCODE + decode + dense matching +
-    GN pose + keyframe fusion + statistics in ONE jit.
+    """Zero-sync per-frame program: ENCODE + decode + dense matching + GN
+    pose + keyframe fusion + ON-DEVICE keyframe/skip decision, in ONE jit.
 
-    v2 differences from `_make_fused_track`:
-    * the encoder runs inside (input is the raw [0,1] frame image), so a
-      tracked frame is ONE dispatch total;
-    * the frame is always fresh (SLAM never re-tracks a frame), so frame
-      pointmap state is produced, not consumed;
-    * the keyframe fusion count `kN` is a device scalar in/out, letting the
-      SLAM loop chain consecutive frames device-side without a host sync;
-    * encoder tokens are returned so a frame promoted to keyframe needs no
-      re-encode.
+    The keyframe-selection thresholds (reference tracker.py:116-119 and
+    :151-161) are evaluated on device, and promotion runs inside a
+    `lax.cond`: the mono self-pair decode produces the new keyframe's
+    canonical pointmap and the chain's current-keyframe state switches to
+    the frame — so consecutive frames chain device-side across keyframe
+    boundaries with NO host round trip. The host drains a tiny per-frame
+    stats/event bundle every `runtime.sync_every` frames and replays only
+    on tracking failure (relocalization, the rare path).
+
+    Per-frame event (stats slot 3): 0 = tracked, 1 = promoted to keyframe,
+    2 = skipped (match fraction under `min_match_frac` -> reloc). On skip
+    the chain state (keyframe pointmap, pose) passes through unchanged.
+
+    Outputs also carry the RETIRED keyframe state (`ret_X`/`ret_C`, count
+    in stats slot 5): the old keyframe's pointmap including this frame's
+    fusion — what the host writes back into the arena slot when the device
+    promoted a new keyframe mid-window.
     """
     from mast3r_slam_tpu.matching import match
     from mast3r_slam_tpu.models.mast3r import MASt3RNet
@@ -342,20 +357,66 @@ def _make_fused_track2(
         kX2, kC2, kN2 = fuse_pointmap_masked(
             kX, kC, kN, core["Xkk"], Ckf[0], filtering_mode
         )
-        stats5 = jnp.concatenate(
-            [core["stats"], jnp.ones((1,)), kN2[None]], axis=0
+
+        # -- on-device decision (reference tracker.py:116-119, :151-161) --
+        match_frac, match_frac_k, unique_frac_f = (
+            core["stats"][0], core["stats"][1], core["stats"][2]
+        )
+        min_match_frac, match_frac_thresh = cfg_key[2], cfg_key[9]
+        skip = match_frac < min_match_frac
+        new_kf = jnp.logical_and(
+            jnp.logical_not(skip),
+            jnp.minimum(match_frac_k, unique_frac_f) < match_frac_thresh,
+        )
+        # Retired (= old-keyframe) state: fused through this frame unless
+        # the frame was skipped, in which case it passes through untouched.
+        ret_X = jnp.where(skip, kX, kX2)
+        ret_C = jnp.where(skip, kC, kC2)
+        ret_N = jnp.where(skip, kN, kN2)
+
+        def promote(_):
+            # Mono self-pair decode: the new keyframe's canonical pointmap
+            # (reference mast3r_utils.py:255-321 via slam.py:199-214).
+            out_m, _ = model.net.apply(
+                params, feat_f, pos_f, feat_f, pos_f, out_hw,
+                method=MASt3RNet.decode,
+            )
+            Xm = sub(out_m["pts3d"]).reshape(n, 3)
+            Cm = sub(out_m["conf"]).reshape(n, 1)
+            return (
+                feat_f[0], pos_f[0], Xm, Cm,
+                jnp.asarray(1.0, ret_N.dtype), core["T_WCf"],
+            )
+
+        def keep(_):
+            return feat_k, pos_k, ret_X, ret_C, ret_N, T_WCk
+
+        nfeat, npos, nX, nC, nN, nT = jax.lax.cond(new_kf, promote, keep, None)
+
+        T_out = jnp.where(skip, T_WCf, core["T_WCf"])
+        iota = jnp.arange(n, dtype=idx.dtype)[None]
+        idx_next = jnp.where(jnp.logical_or(skip, new_kf), iota, idx)
+
+        event = jnp.where(
+            skip, float(EVENT_SKIP), jnp.where(new_kf, float(EVENT_NEW_KF), 0.0)
+        )
+        stats6 = jnp.stack(
+            [match_frac, match_frac_k, unique_frac_f, event, nN, ret_N]
         )
         return dict(
-            idx=idx,
-            stats=stats5,
-            T_WCf=core["T_WCf"],
+            idx=idx_next,
+            stats=stats6,
+            T_WCf=T_out,
             frame_X=Xff[0],
             frame_C=Cff[0],
-            kf_X=kX2,
-            kf_C=kC2,
-            kN=kN2,
-            Qkf=Qkf,
-            Qff=Qff,
+            kf_feat=nfeat,
+            kf_pos=npos,
+            kf_X=nX,
+            kf_C=nC,
+            kN=nN,
+            kf_T=nT,
+            ret_X=ret_X,
+            ret_C=ret_C,
             feat=feat_f[0],
             pos=pos_f[0],
         )
@@ -485,9 +546,9 @@ class FrameTracker:
         self.idx_f2k: Optional[jax.Array] = None
         self.last_stats: Optional[dict] = None  # per-frame scalar bundle
         self._fused = None
-        self._fused2 = None
+        self._fused_chain = None
         self._kf_cache: Optional[dict] = None
-        self._spec: Optional[dict] = None  # speculative device-chained state
+        self._chain: Optional[dict] = None  # device-chained keyframe state
         self._use_fused = (
             model is not None
             and hasattr(model, "net")
@@ -507,31 +568,30 @@ class FrameTracker:
     def reset_idx_f2k(self) -> None:
         self.idx_f2k = None
 
-    # ------------------------------------------------- pipelined dispatch/resolve
+    # --------------------------------------------- zero-sync chained dispatch
 
     def dispatch(self, frame: Frame, T_init: Optional[jax.Array] = None):
-        """Speculatively dispatch the one-program tracking step for `frame`
-        against the current keyframe, chaining device futures from the
-        previous (possibly unresolved) dispatch. NO host sync happens here.
+        """Dispatch the one-program chained tracking step for `frame`. NO
+        host sync happens here — the keyframe/skip decision runs on device
+        and the chain's keyframe state (including on-device promotions)
+        threads through device futures. The host drains a window of handles
+        with `sync_chain()` (one round trip per window).
 
-        Returns an opaque handle for `resolve()`, or None if there is no
-        keyframe yet. Handles must be resolved in dispatch order; when a
-        resolve deviates from the speculation (new keyframe / reloc / skip),
-        the caller re-dispatches any in-flight frame.
+        Returns an opaque handle, or None if there is no keyframe yet.
         """
         kf_idx = self.keyframes.last_index()
         if kf_idx is None:
             return None
-        if self._fused2 is None:
-            self._fused2 = _make_fused_track2(
+        if self._fused_chain is None:
+            self._fused_chain = _make_fused_track_chain(
                 self.model, self.cfg, self.cfg.filtering_mode,
                 self._img_downsample, use_calib=self._calib_live(),
             )
 
-        spec = self._spec
-        if spec is None or spec["kf_idx"] != kf_idx:
+        chain = self._chain
+        if chain is None or chain["kf_idx"] != kf_idx:
             kf = self._kf_state(kf_idx)
-            spec = dict(
+            chain = dict(
                 kf_idx=kf_idx,
                 feat=kf["feat"],
                 pos=kf["pos"],
@@ -541,82 +601,83 @@ class FrameTracker:
                 T=kf["T"],
                 T_prev=None,
             )
-        T_WCf = spec["T_prev"]
+        T_WCf = chain["T_prev"]
         if T_WCf is None:
             T_WCf = T_init if T_init is not None else frame.T_WC
 
-        out = self._fused2(
+        out = self._fused_chain(
             self.model.params,
             frame.img,
-            spec["feat"],
-            spec["pos"],
+            chain["feat"],
+            chain["pos"],
             self.idx_f2k,
-            spec["X"],
-            spec["C"],
-            spec["N"],
+            chain["X"],
+            chain["C"],
+            chain["N"],
             T_WCf,
-            spec["T"],
+            chain["T"],
             self.keyframes.K if self._calib_live() else None,
         )
         self.idx_f2k = out["idx"]
-        # Optimistic chain: assume the frame tracked fine and did not become
-        # a keyframe. resolve() corrects the record if not.
-        self._spec = dict(
-            kf_idx=kf_idx,
-            feat=spec["feat"],
-            pos=spec["pos"],
+        self._chain = dict(
+            kf_idx=chain["kf_idx"],
+            feat=out["kf_feat"],
+            pos=out["kf_pos"],
             X=out["kf_X"],
             C=out["kf_C"],
             N=out["kN"],
-            T=spec["T"],
+            T=out["kf_T"],
             T_prev=out["T_WCf"],
         )
-        return dict(frame=frame, out=out, kf_idx=kf_idx)
+        return dict(frame=frame, out=out)
 
-    def resolve(self, handle) -> tuple[bool, list, bool]:
-        """Sync the handle's scalar stats (the frame's ONE host round trip)
-        and commit results. Same return contract as track()."""
-        out, frame, kf_idx = handle["out"], handle["frame"], handle["kf_idx"]
-        stats = np.asarray(out["stats"])
-        match_frac, match_frac_k, unique_frac_f, _, kf_N = (
-            float(x) for x in stats
-        )
+    def sync_chain(self, handles: list) -> np.ndarray:
+        """Fetch all handles' stats bundles in ONE host round trip.
+
+        Returns [K, 6] float: (match_frac, match_frac_k, unique_frac_f,
+        event, kf_N_next, retired_N) per frame."""
+        stats = jnp.stack([h["out"]["stats"] for h in handles])
+        return np.asarray(stats)
+
+    def commit_chain_frame(self, handle, stats_row, tracked: bool = True):
+        """Record one chained frame's results host-side (no sync — the
+        stats row came from `sync_chain`)."""
+        out, frame = handle["out"], handle["frame"]
         self.last_stats = dict(
-            match_frac=match_frac,
-            match_frac_k=match_frac_k,
-            unique_frac_f=unique_frac_f,
+            match_frac=float(stats_row[0]),
+            match_frac_k=float(stats_row[1]),
+            unique_frac_f=float(stats_row[2]),
         )
-
         frame.feat, frame.pos = out["feat"], out["pos"]
         frame.X_canon, frame.C = out["frame_X"], out["frame_C"]
         frame.N = frame.N_updates = 1
+        if tracked:
+            frame.T_WC = out["T_WCf"]
 
-        c = self.cfg
-        if match_frac < c.min_match_frac:
-            print(f"Skipped frame {frame.frame_id}")
-            self._spec = None
-            self.reset_idx_f2k()
-            return False, [], True
-
-        frame.T_WC = out["T_WCf"]
-        self.keyframes.write_pointmap(kf_idx, out["kf_X"], out["kf_C"], kf_N)
-        # invalidate the slice cache: the pipeline chains through _spec, and
-        # any later sync-path rebuild pulls the fresh arena slots lazily
+    def abort_chain(self) -> None:
+        """Drop the device chain (reloc / mode change); the next dispatch
+        rebuilds from the arena."""
+        self._chain = None
         self._kf_cache = None
+        self.reset_idx_f2k()
 
-        new_kf = min(match_frac_k, unique_frac_f) < c.match_frac_thresh
-        if new_kf:
-            self.reset_idx_f2k()
-            self._spec = None  # next dispatch rebuilds against the new KF
-        match_info = [
-            out["kf_X"],
-            out["kf_C"] / max(kf_N, 1.0),
-            frame.X_canon,
-            frame.C,
-            out["Qkf"],
-            out["Qff"],
-        ]
-        return new_kf, match_info, False
+    def refresh_chain(self, kf_idx: int, pose_dirty: bool = False) -> None:
+        """Re-anchor the live chain after a window drain: `kf_idx` is the
+        arena slot of the chain's current keyframe (it moves on promotion
+        or eviction compaction). With `pose_dirty` (backend solved during
+        the drain), adopt the arena's corrected keyframe pose and remap the
+        last frame pose by the same world-side correction so the next GN
+        init stays consistent."""
+        ch = self._chain
+        if ch is None:
+            return
+        ch["kf_idx"] = kf_idx
+        if pose_dirty:
+            T_arena = self.keyframes.T_WC[kf_idx]
+            delta = lie.sim3_mul(T_arena, lie.sim3_inv(ch["T"]))
+            ch["T"] = T_arena
+            if ch["T_prev"] is not None:
+                ch["T_prev"] = lie.sim3_mul(delta, ch["T_prev"])
 
     def track(self, frame: Frame, mast3r_match_fn: Callable):
         """Returns (new_kf: bool, match_info: list, try_reloc: bool)."""

@@ -47,11 +47,18 @@ class BatchState:
     T_WC: jax.Array  # [B, 8] current poses
 
 
-def _make_batch_program(model, cfg, filtering_mode: str, mesh=None):
+def _make_batch_program(model, cfg, filtering_mode: str, mesh=None,
+                        microbatch: int = 0):
     """Build the vmapped per-frame program; with a `jax.sharding.Mesh`,
     the sequence axis is sharded over the mesh's 'dp' axis (one GSPMD
     program: decode/matching/GN run fully data-parallel over ICI, model
-    params replicated) — multi-chip serving without code changes above."""
+    params replicated) — multi-chip serving without code changes above.
+
+    `microbatch` > 0 runs the batch as a `lax.scan` over chunks of that
+    size inside the ONE dispatch: the decoder/DPT activation transients
+    (the HLO-temp blowup that capped v5e serving at B=4) scale with the
+    chunk, not the batch, so B=8/16 compile and run at B=4's working set
+    while still amortizing launch overhead across the whole batch."""
     from mast3r_slam_tpu.models.mast3r import MASt3RNet
 
     cfg_key = (
@@ -115,9 +122,28 @@ def _make_batch_program(model, cfg, filtering_mode: str, mesh=None):
             stats=stats,
         )
 
-    batched = jax.vmap(
+    vone = jax.vmap(
         one, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
     )
+
+    def batched(params, *args):
+        B = args[0].shape[0]
+        mb = microbatch
+        if mb <= 0 or mb >= B or B % mb != 0:
+            return vone(params, *args)
+        nc = B // mb
+        chunked = tuple(
+            a.reshape((nc, mb) + a.shape[1:]) for a in args
+        )
+
+        def body(carry, chunk):
+            return carry, vone(params, *chunk)
+
+        _, outs = jax.lax.scan(body, None, chunked)
+        return jax.tree.map(
+            lambda o: o.reshape((B,) + o.shape[2:]), outs
+        )
+
     if mesh is None:
         return jax.jit(batched)
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -146,17 +172,37 @@ class BatchTracker:
     """Lockstep tracker over B sequences (rays objective, elementwise
     fusion modes)."""
 
-    def __init__(self, model, mesh=None):
+    def __init__(self, model, mesh=None, microbatch: Optional[int] = None):
         """With `mesh` (a jax.sharding.Mesh with a 'dp' axis), sequences
         shard over devices — each chip tracks B/n_dp streams; the batch
         size must be divisible by the dp axis size. A 'tp' axis > 1
         additionally shards the model weights Megatron-style across chips
-        (1/tp of the ViT per chip, all-reduce over ICI)."""
+        (1/tp of the ViT per chip, all-reduce over ICI).
+
+        `microbatch` (default `runtime.serving_microbatch`) bounds the
+        activation working set: the batch runs as an in-dispatch scan over
+        chunks of this size (0 = one flat vmap)."""
         self.model = model
-        self.cfg = get_config().tracking
+        cfg = get_config()
+        self.cfg = cfg.tracking
         self.mesh = mesh
+        explicit = microbatch is not None
+        if microbatch is None:
+            microbatch = cfg.runtime.serving_microbatch
+        if mesh is not None and microbatch:
+            dp = mesh.shape.get("dp", 1)
+            if microbatch % dp:
+                if explicit:
+                    raise ValueError(
+                        f"serving microbatch {microbatch} not divisible by "
+                        f"dp axis {dp}"
+                    )
+                # config default that doesn't tile the mesh: per-chip batch
+                # is already B/dp, so just run flat
+                microbatch = 0
+        self.microbatch = microbatch
         self._program = _make_batch_program(
-            model, self.cfg, self.cfg.filtering_mode, mesh
+            model, self.cfg, self.cfg.filtering_mode, mesh, microbatch
         )
         self.state: Optional[BatchState] = None
 

@@ -229,3 +229,65 @@ class TestShardedServing:
                 jnp.zeros((3, 16, 32)), jnp.zeros((3, 16, 2), jnp.int32),
                 jnp.zeros((3, h * w, 3)), jnp.zeros((3, h * w, 1)),
             )
+
+
+class TestMicrobatchScan:
+    def test_microbatch_matches_flat(self, tiny_model, rng):
+        """The in-dispatch microbatch scan (serving_microbatch) must be a
+        pure scheduling change: B=6 scanned in chunks of 2 produces the
+        SAME poses/stats as the flat vmap."""
+        set_config(
+            Config.from_dict(
+                {
+                    "matching": {"use_simple": True, "dist_thresh": 1e6},
+                    "tracking": {"min_match_frac": 0.01},
+                }
+            )
+        )
+        B = 6
+        h, w = tiny_model._out_hw
+        feats, poss, Xs, Cs = [], [], [], []
+        for _ in range(B):
+            img = jnp.asarray(
+                rng.uniform(-1, 1, (1, h, w, 3)).astype(np.float32)
+            )
+            f, p = tiny_model.encode(img)
+            X, C = tiny_model.mono(f[0], p[0])
+            feats.append(f[0]); poss.append(p[0]); Xs.append(X); Cs.append(C)
+        feats, poss = jnp.stack(feats), jnp.stack(poss)
+        Xs, Cs = jnp.stack(Xs), jnp.stack(Cs)
+
+        flat = BatchTracker(tiny_model, microbatch=0)
+        flat.init_from_keyframes(feats, poss, Xs, Cs)
+        out_flat = flat.step(feats, poss)
+
+        mb = BatchTracker(tiny_model, microbatch=2)
+        assert mb.microbatch == 2
+        mb.init_from_keyframes(feats, poss, Xs, Cs)
+        out_mb = mb.step(feats, poss)
+
+        np.testing.assert_allclose(
+            np.asarray(out_mb["poses"]), np.asarray(out_flat["poses"]),
+            atol=1e-5,
+        )
+        np.testing.assert_array_equal(out_mb["tracked"], out_flat["tracked"])
+        # scanned vs flat programs fuse/reassociate differently: equal up
+        # to fp32 reassociation noise
+        np.testing.assert_allclose(
+            np.asarray(mb.state.kf_X), np.asarray(flat.state.kf_X),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    def test_indivisible_microbatch_runs_flat(self, tiny_model):
+        """Config-default microbatch that doesn't divide B falls back to
+        one flat vmap (B < microbatch is the common small-batch case)."""
+        set_config(Config.from_dict({}))
+        bt = BatchTracker(tiny_model)  # default serving_microbatch=4
+        assert bt.microbatch == 4  # program falls back internally for B<4
+
+    def test_explicit_microbatch_mesh_mismatch_raises(self, tiny_model):
+        from mast3r_slam_tpu.parallel.mesh import make_mesh
+
+        set_config(Config.from_dict({}))
+        with pytest.raises(ValueError, match="microbatch"):
+            BatchTracker(tiny_model, mesh=make_mesh(8, tp=1), microbatch=3)

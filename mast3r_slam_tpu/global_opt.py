@@ -36,10 +36,14 @@ def _bucket(n: int, lo: int = 8) -> int:
 
 
 class FactorGraph:
-    def __init__(self, model, frames: Keyframes, K=None):
+    def __init__(self, model, frames: Keyframes, K=None, mesh=None):
+        """With `mesh` (jax.sharding.Mesh with a 'dp' axis), the graph
+        solve shards its EDGE axis over chips: per-chip Hessian blocks,
+        psum over ICI, replicated Cholesky (ops.gauss_newton_graph)."""
         self.model = model
         self.frames = frames
         self.K = K
+        self.mesh = mesh
         cfg = get_config()
         self.cfg = cfg.local_opt
         n = frames.h * frames.w
@@ -214,6 +218,9 @@ class FactorGraph:
         jj_local = np.asarray([kf_to_local[int(k)] for k in jj2], np.int32)
 
         E_pad = _bucket(2 * e)
+        if self.mesh is not None:
+            # edge axis shards over 'dp': pad the bucket up to a multiple
+            E_pad = max(E_pad, self.mesh.shape.get("dp", 1))
         K_pad = _bucket(unique.size, lo=2)
 
         pad_e = E_pad - 2 * e
@@ -298,6 +305,7 @@ class FactorGraph:
             prep["free_mask"],
             mode=mode,
             params=self._params(),
+            mesh=self.mesh,
             **kwargs,
         )
         unique, pin = prep["unique"], prep["pin"]

@@ -226,9 +226,56 @@ def _resolve_edge_chunk(E: int, n_pts: int, edge_chunk: int | None) -> int:
     return chunk
 
 
+def _edge_blocks(
+    Twc_cur, Xs, ii, jj, idx_ii2jj, weight_mask, Q, chunk,
+    mode, K_intr, img_size, p,
+):
+    """Per-edge 7x7 blocks S [E,7,7] and gradients b [E,7], scanning over
+    edge chunks when the Jacobian working set would not fit (see
+    `_resolve_edge_chunk`)."""
+    E = ii.shape[0]
+    if chunk == E:
+        S, b, _cost = _edge_system(
+            Twc_cur, Xs, ii, jj, idx_ii2jj, weight_mask, Q,
+            mode, K_intr, img_size, p,
+        )
+        return S, b
+
+    def chunk_system(_, args):
+        ii_c, jj_c, idx_c, wm_c, Q_c = args
+        S_c, b_c, cost_c = _edge_system(
+            Twc_cur, Xs, ii_c, jj_c, idx_c, wm_c, Q_c,
+            mode, K_intr, img_size, p,
+        )
+        return None, (S_c, b_c, cost_c)
+
+    resh = lambda a: a.reshape(E // chunk, chunk, *a.shape[1:])
+    _, (S, b, _costs) = jax.lax.scan(
+        chunk_system,
+        None,
+        (resh(ii), resh(jj), resh(idx_ii2jj), resh(weight_mask), resh(Q)),
+    )
+    return S.reshape(E, 7, 7), b.reshape(E, 7)
+
+
+def _assemble_Hg(K, ii, jj, S, b, dtype):
+    """Scatter-add per-edge blocks into the block Hessian [K, K, 7, 7] and
+    gradient [K, 7] (deterministic XLA scatter; the reference reduced on
+    the CPU per iteration, gn_metal_runner.py:221-292)."""
+    H = jnp.zeros((K, K, 7, 7), dtype)
+    H = H.at[ii, ii].add(S)
+    H = H.at[jj, jj].add(S)
+    H = H.at[ii, jj].add(-S)
+    H = H.at[jj, ii].add(-S)
+    g = jnp.zeros((K, 7), dtype)
+    g = g.at[jj].add(b)
+    g = g.at[ii].add(-b)
+    return H, g
+
+
 @partial(
     jax.jit,
-    static_argnames=("mode", "img_size", "params", "edge_chunk"),
+    static_argnames=("mode", "img_size", "params", "edge_chunk", "mesh"),
 )
 def gauss_newton_graph(
     Twc: jax.Array,  # [K, 8]
@@ -246,6 +293,7 @@ def gauss_newton_graph(
     img_size: tuple[int, int] | None = None,
     params: GNParams = GNParams(),
     edge_chunk: int | None = None,
+    mesh=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Global Sim3 pose-graph GN over dense correspondences.
 
@@ -255,6 +303,14 @@ def gauss_newton_graph(
 
     Wires all three modes for real — the reference's rays path was a
     zero-Hessian no-op (global_opt.py:342-390 never filled H; SURVEY §2.10).
+
+    With `mesh` (a jax.sharding.Mesh with a 'dp' axis), the EDGE axis —
+    the one SLAM dimension that outgrows a chip (E x N Jacobian transients)
+    — shards over devices via shard_map: each chip builds S_e/b_e for its
+    E/n_dp edges, assembles a local block Hessian, and a psum over ICI
+    yields the replicated [K, K, 7, 7] system; the 7K x 7K Cholesky then
+    runs replicated (it is tiny next to the edge pass). Requires E
+    divisible by the dp axis size (edge arenas are power-of-two bucketed).
     """
     p = params
     K = Twc.shape[0]
@@ -274,45 +330,48 @@ def gauss_newton_graph(
     freeF = free_mask.astype(Twc.dtype)  # [K]
 
     E = ii.shape[0]
-    chunk = _resolve_edge_chunk(E, Xs.shape[1], edge_chunk)
+    if mesh is not None:
+        n_dp = mesh.shape.get("dp", 1)
+        if E % n_dp:
+            raise ValueError(
+                f"edge count {E} not divisible by dp axis {n_dp}"
+            )
+        chunk = _resolve_edge_chunk(E // n_dp, Xs.shape[1], edge_chunk)
+    else:
+        chunk = _resolve_edge_chunk(E, Xs.shape[1], edge_chunk)
 
     def step(Twc_cur):
-        if chunk == E:
-            # Single pass — no scan (see the adaptive-chunk note above).
-            S, b, _cost = _edge_system(
-                Twc_cur, Xs, ii, jj, idx_ii2jj, weight_mask, Q,
+        if mesh is None:
+            S, b = _edge_blocks(
+                Twc_cur, Xs, ii, jj, idx_ii2jj, weight_mask, Q, chunk,
                 mode, K_intr, img_size, p,
             )
+            H, g = _assemble_Hg(K, ii, jj, S, b, Twc.dtype)
         else:
-            # Scan over edge chunks: bounds the Jacobian working set (dense
-            # pointmaps on wide graphs would otherwise materialize
-            # many-gigabyte intermediates).
-            def chunk_system(_, args):
-                ii_c, jj_c, idx_c, wm_c, Q_c = args
-                S_c, b_c, cost_c = _edge_system(
-                    Twc_cur, Xs, ii_c, jj_c, idx_c, wm_c, Q_c,
+            from jax.sharding import PartitionSpec as P
+            try:  # moved to jax.shard_map in newer releases
+                from jax import shard_map
+            except ImportError:  # pragma: no cover
+                from jax.experimental.shard_map import shard_map
+
+            def local(Twc_l, Xs_l, ii_l, jj_l, idx_l, wm_l, Q_l):
+                S_l, b_l = _edge_blocks(
+                    Twc_l, Xs_l, ii_l, jj_l, idx_l, wm_l, Q_l, chunk,
                     mode, K_intr, img_size, p,
                 )
-                return None, (S_c, b_c, cost_c)
+                H_l, g_l = _assemble_Hg(K, ii_l, jj_l, S_l, b_l, Twc.dtype)
+                return (
+                    jax.lax.psum(H_l, "dp"), jax.lax.psum(g_l, "dp")
+                )
 
-            resh = lambda a: a.reshape(E // chunk, chunk, *a.shape[1:])
-            _, (S, b, costs) = jax.lax.scan(
-                chunk_system,
-                None,
-                (resh(ii), resh(jj), resh(idx_ii2jj), resh(weight_mask), resh(Q)),
-            )
-            S = S.reshape(E, 7, 7)
-            b = b.reshape(E, 7)
-
-        # Assemble block Hessian [K, K, 7, 7] and gradient [K, 7].
-        H = jnp.zeros((K, K, 7, 7), Twc.dtype)
-        H = H.at[ii, ii].add(S)
-        H = H.at[jj, jj].add(S)
-        H = H.at[ii, jj].add(-S)
-        H = H.at[jj, ii].add(-S)
-        g = jnp.zeros((K, 7), Twc.dtype)
-        g = g.at[jj].add(b)
-        g = g.at[ii].add(-b)
+            H, g = shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(
+                    P(), P(), P("dp"), P("dp"), P("dp"), P("dp"), P("dp")
+                ),
+                out_specs=(P(), P()),
+            )(Twc_cur, Xs, ii, jj, idx_ii2jj, weight_mask, Q)
 
         # Pin: zero rows/cols of non-free poses, identity diagonal.
         H = H * freeF[:, None, None, None] * freeF[None, :, None, None]

@@ -249,3 +249,82 @@ class TestEdgeChunkSelection:
         assert _resolve_edge_chunk(32, 10, 8) == 8
         # non-divisor shrinks to the nearest divisor below
         assert _resolve_edge_chunk(30, 10, 8) == 6
+
+
+class TestShardedGraphSolve:
+    def test_edge_sharded_matches_unsharded(self, rng):
+        """Edge axis shard_map'd over the 8-device 'dp' mesh + psum must
+        produce the SAME poses as the single-device solve (multi-chip
+        backend: per-chip Hessian blocks reduced over ICI)."""
+        from mast3r_slam_tpu.parallel.mesh import make_mesh
+
+        prob = make_graph_problem(rng, num_kf=4, h=8, w=12, num_edges=16)
+        Twc0 = perturb_poses(rng, prob["Twc_gt"], mag=0.05)
+        E = prob["ii"].shape[0]
+        assert E % 8 == 0
+        edge_mask = jnp.ones(E, bool)
+        params = GNParams(max_iter=6, delta_thresh=1e-6)
+        args = (
+            Twc0, prob["Xs"], prob["Cs"], prob["ii"], prob["jj"],
+            prob["idx"], prob["valid"], prob["Q"], edge_mask, _free_mask(4),
+        )
+
+        Twc_ref, _ = gauss_newton_graph(*args, mode="rays", params=params)
+        mesh = make_mesh(8, tp=1)
+        Twc_sh, _ = gauss_newton_graph(
+            *args, mode="rays", params=params, mesh=mesh
+        )
+        np.testing.assert_allclose(
+            np.asarray(Twc_sh), np.asarray(Twc_ref), rtol=1e-5, atol=1e-5
+        )
+
+    def test_indivisible_edges_rejected(self, rng):
+        from mast3r_slam_tpu.parallel.mesh import make_mesh
+
+        prob = make_graph_problem(rng, num_kf=3, h=4, w=4, num_edges=6)
+        Twc0 = perturb_poses(rng, prob["Twc_gt"], mag=0.02)
+        E = prob["ii"].shape[0]
+        with pytest.raises(ValueError, match="divisible"):
+            gauss_newton_graph(
+                Twc0, prob["Xs"], prob["Cs"], prob["ii"], prob["jj"],
+                prob["idx"], prob["valid"], prob["Q"],
+                jnp.ones(E, bool), _free_mask(3),
+                mode="rays", params=GNParams(max_iter=2),
+                mesh=make_mesh(8, tp=1),
+            )
+
+    def test_factor_graph_mesh_plumbing(self, tiny_model, rng):
+        """FactorGraph(mesh=...) runs its solve through the sharded path
+        (E buckets are power-of-two >= dp) and keeps poses finite."""
+        from mast3r_slam_tpu.config import Config, set_config
+        from mast3r_slam_tpu.frame import Keyframes, create_frame
+        from mast3r_slam_tpu.global_opt import FactorGraph
+        from mast3r_slam_tpu.parallel.mesh import make_mesh
+
+        set_config(
+            Config.from_dict(
+                {
+                    "runtime": {"keyframe_capacity": 8},
+                    "local_opt": {"max_edges": 16, "min_match_frac": 0.0},
+                    "matching": {"use_simple": True, "dist_thresh": 1e6},
+                }
+            )
+        )
+        h, w = tiny_model._out_hw
+        kfs = Keyframes(h, w)
+        for fid in range(3):
+            img = jnp.asarray(
+                rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+            )
+            fr = create_frame(fid, img)
+            from mast3r_slam_tpu.inference import mast3r_inference_mono
+
+            X, C, feat, pos = mast3r_inference_mono(tiny_model, fr)
+            fr.X_canon, fr.C, fr.feat, fr.pos = X, C, feat, pos
+            fr.N = fr.N_updates = 1
+            kfs.append(fr)
+
+        fg = FactorGraph(tiny_model, kfs, mesh=make_mesh(8, tp=1))
+        assert fg.add_factors([0, 1], [1, 2], min_match_frac=0.0)
+        fg.solve_GN_rays()
+        assert np.isfinite(np.asarray(kfs.get_poses())).all()

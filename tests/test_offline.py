@@ -39,3 +39,47 @@ def test_offline_recovers_trajectory(rng):
     for i in range(n):
         err = pose_distance(out["poses"][i], gt[i])
         assert err < 5e-3, f"frame {i}: {err}"
+
+
+def test_chain_init_batches_decodes(rng):
+    """Chain initialization runs ceil((F-1)/pair_batch) decoder dispatches,
+    not F-1 sequential ones, and still produces a valid pose chain."""
+    from mast3r_slam_tpu.frame import Keyframes
+    from mast3r_slam_tpu.inference import mast3r_inference_mono
+
+    h = w = 16
+    n = 6
+    model, gt = make_oracle_world(rng, n, h, w, step=0.05)
+    set_config(
+        Config.from_dict(
+            {
+                "runtime": {"keyframe_capacity": 8},
+                "matching": {"use_simple": True, "dist_thresh": 0.5},
+            }
+        )
+    )
+    frames = []
+    kfs = Keyframes(h, w, capacity=8)
+    for i in range(n):
+        f = create_frame(i, jnp.asarray(render_frame_image(i, h, w, rng)))
+        X, C, feat, pos = mast3r_inference_mono(model, f)
+        f.X_canon, f.C, f.feat, f.pos = X, C, feat, pos
+        f.N = f.N_updates = 1
+        frames.append(f)
+        kfs.append(f)
+
+    calls = []
+    orig = model.decode
+    model.decode = lambda *a: (calls.append(1) or orig(*a))
+    try:
+        rec = OfflineReconstructor(model, pair_batch=4)
+        rec._chain_initialize(kfs, frames)
+    finally:
+        model.decode = orig
+
+    assert len(calls) == 2  # ceil((6-1)/4)
+    poses = np.asarray(kfs.get_poses())
+    assert np.isfinite(poses).all()
+    for i in range(n):
+        err = pose_distance(poses[i], gt[i])
+        assert err < 5e-2, f"frame {i}: {err}"

@@ -72,6 +72,10 @@ class RetrievalDatabase:
         self.asmk = None
         self._asmk_pending: list[jax.Array] = []
         self._asmk_codebook_kf = rcfg.asmk_codebook_kf
+        self._asmk_fit_size = 0  # db size when the codebook was (re)fitted
+        # Optional keyframe arena (wired by the SLAM loop): source of the
+        # live map's features for codebook re-fits at doubling thresholds.
+        self.keyframes = None
         if self.method == "asmk":
             from mast3r_slam_tpu.models.asmk import ASMKRetriever
 
@@ -191,16 +195,29 @@ class RetrievalDatabase:
 
     def _asmk_add(self, feat: jax.Array) -> None:
         """Insert into the ASMK arena, fitting the codebook lazily from the
-        first keyframes' features."""
+        first keyframes' features, and refreshing it once the map doubles
+        past the last fit size (stale visual words tile a grown map badly;
+        the refit re-aggregates every stored entry against the new words)."""
         if not self.asmk.ready():
             self._asmk_pending.append(feat)
             if len(self._asmk_pending) >= self._asmk_codebook_kf:
                 self.asmk.fit_codebook(self._asmk_pending)
                 for f in self._asmk_pending:
                     self.asmk.add(f)
+                self._asmk_fit_size = len(self._asmk_pending)
                 self._asmk_pending = []
-        else:
-            self.asmk.add(feat)
+            return
+        self.asmk.add(feat)
+        if (
+            self.keyframes is not None
+            and self.keyframes._feat is not None
+            and self.asmk.count >= 2 * max(self._asmk_fit_size, 1)
+            and self.asmk.count <= len(self.keyframes)
+        ):
+            count = self.asmk.count
+            feats = [self.keyframes._feat[i] for i in range(count)]
+            self.asmk.refit(feats)
+            self._asmk_fit_size = count
 
     def query(self, feat: jax.Array, k: int = 3) -> tuple[list[int], list[float]]:
         if self.kf_counter == 0:

@@ -118,38 +118,109 @@ class SLAM:
         # link-bound FPS. Tracking failure (reloc) rewinds to the failed
         # frame and replays host-side. The reference serialized everything
         # through the host (slam.py:124-153).
-        window: list[tuple] = []
+        from mast3r_slam_tpu.tracker import WindowRow
+
+        window: list[tuple] = []  # per-frame handles (tail / fallback path)
+        inflight: list = [None]  # one in-flight scanned window
         sync_every = max(1, self.config.runtime.sync_every)
 
         def flush_window() -> None:
             if window:
                 entries, window[:] = list(window), []
-                self._drain_window(entries)
+                stats = self.tracker.sync_chain([h for (_f, _t, h) in entries])
+                self._drain_window(
+                    [(f, t, h["out"]) for (f, t, h) in entries], stats
+                )
 
-        for i, (timestamp, processed) in enumerate(loader(max_frames=n_frames)):
-            # Ship the uint8 crop and normalize ON DEVICE: 4x fewer bytes on
-            # the host->device link than the float32 image, which is the
-            # orchestrated loop's bandwidth bottleneck over a relay.
-            img_u8 = processed["unnormalized_img"]
-            if i == 0:
-                h, w = img_u8.shape[:2]
+        def drain_inflight() -> None:
+            if inflight[0] is None:
+                return
+            frames_ts, handle = inflight[0]
+            inflight[0] = None
+            stats = np.asarray(handle["out"]["stats"])  # the ONE sync
+            self._drain_window(
+                [
+                    (fr, ts, WindowRow(handle["out"], j))
+                    for j, (fr, ts) in enumerate(frames_ts)
+                ],
+                stats,
+            )
+
+        # Frames are consumed in batches of `sync_every`, and each batch's
+        # uint8 images ship to the device in ONE stacked transfer: on a
+        # relay link, per-frame puts serialize against the chain's compute
+        # stream (measured ~45 ms/frame of stream stall at 512x384), while
+        # the batched put costs one transfer per window. uint8 (not f32)
+        # keeps the bytes 4x down; normalization happens on device. A full
+        # TRACKING window is ONE scanned dispatch, and its drain is
+        # deferred until the NEXT window has been dispatched — the stats
+        # fetch's round trip then overlaps the next window's device
+        # compute instead of stalling the stream.
+        raw: list[tuple] = []  # [(frame_idx, timestamp, img_u8)]
+
+        def process_batch() -> None:
+            if not raw:
+                return
+            entries, raw[:] = list(raw), []
+            if entries[0][0] == 0:
+                h, w = entries[0][2].shape[:2]
                 self._initialize_state(h, w)
-            frame = create_frame(i, jnp.asarray(img_u8))
-
+            batch_dev = jnp.asarray(np.stack([e[2] for e in entries]))
             use_pipeline = (
                 self.config.runtime.pipeline and self.tracker.can_pipeline
             )
-            if use_pipeline and self.state.mode == Mode.TRACKING:
-                handle = self.tracker.dispatch(frame, T_init=self._last_T_WC)
+            if (
+                use_pipeline
+                and self.state.mode == Mode.TRACKING
+                and len(entries) == sync_every
+                and self.keyframes.last_index() is not None
+                and not window
+            ):
+                frames = [
+                    create_frame(i, batch_dev[j])
+                    for j, (i, _t, _u) in enumerate(entries)
+                ]
+                handle = self.tracker.dispatch_window(
+                    frames, batch_dev, T_init=self._last_T_WC
+                )
                 if handle is not None:
-                    window.append((frame, timestamp, handle))
-                    if len(window) >= sync_every:
-                        flush_window()
-                    continue
+                    drain_inflight()  # overlaps this window's device compute
+                    if self.tracker._chain is None:
+                        # the drain deviated (reloc aborted the chain): this
+                        # window was dispatched against pre-reloc state —
+                        # reprocess its frames synchronously
+                        for j, (_i, ts, _u) in enumerate(entries):
+                            self._step_sync(frames[j], ts)
+                    else:
+                        inflight[0] = (
+                            [
+                                (frames[j], entries[j][1])
+                                for j in range(len(frames))
+                            ],
+                            handle,
+                        )
+                    return
+            # strict frame order: anything in flight resolves first
+            drain_inflight()
+            for j, (i, timestamp, _u8) in enumerate(entries):
+                frame = create_frame(i, batch_dev[j])
+                if use_pipeline and self.state.mode == Mode.TRACKING:
+                    handle = self.tracker.dispatch(
+                        frame, T_init=self._last_T_WC
+                    )
+                    if handle is not None:
+                        window.append((frame, timestamp, handle))
+                        continue
+                flush_window()
+                self._step_sync(frame, timestamp)
             flush_window()
-            self._step_sync(frame, timestamp)
 
-        flush_window()
+        for i, (timestamp, processed) in enumerate(loader(max_frames=n_frames)):
+            raw.append((i, timestamp, processed["unnormalized_img"]))
+            if len(raw) >= sync_every:
+                process_batch()
+        process_batch()
+        drain_inflight()
         self._run_backend(budget=0)  # drain any deferred backend tasks
         if self.viewer is not None:
             # final snapshot with the backend's last pose corrections
@@ -176,31 +247,33 @@ class SLAM:
             self._process_reloc(frame)
         self._bookkeep(frame, timestamp)
 
-    def _drain_window(self, entries: list[tuple]) -> None:
-        """Resolve a window of chained dispatches: ONE stats sync for the
-        whole window, then per-frame host bookkeeping driven by the
-        on-device event codes (0 tracked / 1 promoted / 2 skipped). On a
-        skip the chain is aborted, the frame goes through relocalization,
-        and the window's remaining frames replay synchronously (their
-        chained results assumed the skipped frame never happened)."""
+    def _drain_window(self, entries: list[tuple], stats: np.ndarray) -> None:
+        """Resolve a window of chained results: per-frame host bookkeeping
+        driven by the on-device event codes (0 tracked / 1 promoted / 2
+        skipped). `entries` is [(frame, timestamp, row)] where `row`
+        indexes one frame's outputs (per-frame dict or a WindowRow into
+        the scanned window's stacked outputs); `stats` [K, 6] was fetched
+        by the caller in one sync. On a skip the chain is aborted, the
+        frame goes through relocalization, and the window's remaining
+        frames replay synchronously (their chained results assumed the
+        skipped frame never happened)."""
         from mast3r_slam_tpu.tracker import EVENT_NEW_KF, EVENT_SKIP
 
-        handles = [h for (_f, _t, h) in entries]
-        stats = self.tracker.sync_chain(handles)  # [K, 6] — the ONE sync
         cur = self.keyframes.last_index()
         pose_dirty = False
         deferred: list[tuple] = []
         completed = True
-        for j, (frame, timestamp, handle) in enumerate(entries):
-            out = handle["out"]
+        for j, (frame, timestamp, row) in enumerate(entries):
             event = int(round(float(stats[j, 3])))
             if event == EVENT_SKIP:
                 # Write back the chain's keyframe state as of the failure
                 # (fusions from this window's earlier frames), then rewind.
                 self.keyframes.write_pointmap(
-                    cur, out["ret_X"], out["ret_C"], float(stats[j, 5])
+                    cur, row["ret_X"], row["ret_C"], float(stats[j, 5])
                 )
-                self.tracker.commit_chain_frame(handle, stats[j], tracked=False)
+                self.tracker.commit_chain_frame(
+                    frame, row, stats[j], tracked=False
+                )
                 self.tracker.abort_chain()
                 print(f"Skipped frame {frame.frame_id}")
                 self._frame_events["skipped"] = True
@@ -210,15 +283,15 @@ class SLAM:
                 deferred = entries[j + 1 :]
                 completed = False
                 break
-            self.tracker.commit_chain_frame(handle, stats[j])
+            self.tracker.commit_chain_frame(frame, row, stats[j])
             if event == EVENT_NEW_KF:
                 # Retire the old keyframe's fused state into its slot; the
                 # frame's new-keyframe state (mono pointmap) came from the
                 # on-device promotion branch.
                 self.keyframes.write_pointmap(
-                    cur, out["ret_X"], out["ret_C"], float(stats[j, 5])
+                    cur, row["ret_X"], row["ret_C"], float(stats[j, 5])
                 )
-                frame.X_canon, frame.C = out["kf_X"], out["kf_C"]
+                frame.X_canon, frame.C = row["kf_X"], row["kf_C"]
                 victim = self._evict_if_full()
                 if victim is not None and victim < cur:
                     cur -= 1
@@ -231,13 +304,21 @@ class SLAM:
                 pose_dirty = True
         if completed:
             # Flush the chain's latest keyframe state into the arena and
-            # re-anchor the chain (slot moves, backend pose corrections).
-            out = entries[-1][2]["out"]
+            # re-anchor the chain's slot. Backend pose corrections queue as
+            # a world-frame left delta for the next dispatch (exact even
+            # with a window in flight: left deltas commute through the
+            # chain's on-device promotions).
+            last_row = entries[-1][2]
             self.keyframes.write_pointmap(
-                cur, out["kf_X"], out["kf_C"], float(stats[-1, 4])
+                cur, last_row["kf_X"], last_row["kf_C"], float(stats[-1, 4])
             )
-            self.tracker.refresh_chain(cur, pose_dirty)
-        for frame, timestamp, _h in deferred:
+            if pose_dirty:
+                delta = lie.sim3_mul(
+                    self.keyframes.T_WC[cur], lie.sim3_inv(last_row["kf_T"])
+                )
+                self.tracker.push_pose_delta(delta)
+            self.tracker.refresh_chain(cur)
+        for frame, timestamp, _row in deferred:
             self._step_sync(frame, timestamp)
 
     def _promote_keyframe(self, frame: Frame) -> None:

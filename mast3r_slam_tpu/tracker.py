@@ -265,6 +265,11 @@ def _make_fused_track_chain(
     in stats slot 5): the old keyframe's pointmap including this frame's
     fusion — what the host writes back into the arena slot when the device
     promoted a new keyframe mid-window.
+
+    (Params stay an ARGUMENT: closing them over the jit embeds 686M
+    weights as HLO constants and explodes compile time. The ~4.7 ms/frame
+    of param-handle serialization this costs over a relay is amortized by
+    the scan window program below, which ships them once per window.)
     """
     from mast3r_slam_tpu.matching import match
     from mast3r_slam_tpu.models.mast3r import MASt3RNet
@@ -424,6 +429,72 @@ def _make_fused_track_chain(
     return jax.jit(program)
 
 
+def _make_fused_track_chain_scan(
+    model, cfg, filtering_mode: str, img_downsample: int = 1,
+    use_calib: bool = False,
+):
+    """ONE dispatch per WINDOW: the per-frame chained program scanned over
+    a [K, H, W, 3] image batch. Over a relay link this amortizes the
+    per-dispatch cost (~4.7 ms of param-handle serialization per call —
+    the largest host-side cost left after the stats sync moved to window
+    cadence) down to once per window, on top of the one batched image
+    transfer and one stats fetch. Per-frame outputs come back stacked
+    [K, ...]; the final chain state is returned under "final"."""
+    step_fn = _make_fused_track_chain(
+        model, cfg, filtering_mode, img_downsample, use_calib
+    )
+    _PER_FRAME = (
+        "stats", "T_WCf", "frame_X", "frame_C", "feat", "pos",
+        "ret_X", "ret_C", "kf_X", "kf_C", "kf_T",
+    )
+    _STATE = ("kf_feat", "kf_pos", "idx", "kf_X", "kf_C", "kN", "T_prev", "kf_T")
+
+    def program(
+        params,
+        imgs,  # [K, H, W, 3] uint8 or float
+        feat_k,
+        pos_k,
+        idx_init,  # [1, N] int32 (host passes iota when no warm start)
+        kX,
+        kC,
+        kN,
+        T_WCf,
+        T_WCk,
+        K=None,
+    ):
+        if imgs.dtype == jnp.uint8:
+            imgs = imgs.astype(jnp.float32) / 255.0
+        state = (feat_k, pos_k, idx_init, kX, kC, kN, T_WCf, T_WCk)
+
+        def step(st, img):
+            fk, pk, idx, X, C, N, Tp, Tk = st
+            out = step_fn(params, img, fk, pk, idx, X, C, N, Tp, Tk, K)
+            st2 = (
+                out["kf_feat"], out["kf_pos"], out["idx"], out["kf_X"],
+                out["kf_C"], out["kN"], out["T_WCf"], out["kf_T"],
+            )
+            return st2, {k: out[k] for k in _PER_FRAME}
+
+        state2, outs = jax.lax.scan(step, state, imgs)
+        outs["final"] = dict(zip(_STATE, state2))
+        return outs
+
+    return jax.jit(program)
+
+
+class WindowRow:
+    """Lazy per-frame view into a window handle's stacked outputs — heavy
+    arrays are sliced only when an event actually needs them."""
+
+    __slots__ = ("_out", "_j")
+
+    def __init__(self, out: dict, j: int):
+        self._out, self._j = out, j
+
+    def __getitem__(self, key: str):
+        return self._out[key][self._j]
+
+
 def _make_fused_track(model, cfg, filtering_mode: str, use_calib: bool = False):
     """Build THE per-frame program: decode-from-cache + dense matching +
     pointmap fusion + GN pose + keyframe fusion + statistics, all in ONE
@@ -547,8 +618,14 @@ class FrameTracker:
         self.last_stats: Optional[dict] = None  # per-frame scalar bundle
         self._fused = None
         self._fused_chain = None
+        self._fused_scan = None
         self._kf_cache: Optional[dict] = None
         self._chain: Optional[dict] = None  # device-chained keyframe state
+        # world-frame pose correction awaiting application to the chain
+        # (backend solves land while a window is in flight; a left delta
+        # commutes through on-device promotions, so deferring it to the
+        # next dispatch is exact)
+        self._pending_delta: Optional[jax.Array] = None
         self._use_fused = (
             model is not None
             and hasattr(model, "net")
@@ -570,6 +647,39 @@ class FrameTracker:
 
     # --------------------------------------------- zero-sync chained dispatch
 
+    def _ensure_chain(self, kf_idx: int) -> dict:
+        """Current device-chain state, rebuilt from the arena when absent
+        or re-anchored to a different keyframe; applies any pending
+        world-frame pose correction (left delta — commutes through the
+        chain's on-device promotions, so late application is exact)."""
+        chain = self._chain
+        if chain is None or chain["kf_idx"] != kf_idx:
+            kf = self._kf_state(kf_idx)
+            chain = dict(
+                kf_idx=kf_idx,
+                feat=kf["feat"],
+                pos=kf["pos"],
+                X=kf["X"],
+                C=kf["C"],
+                N=jnp.asarray(kf["N"], jnp.float32),
+                T=kf["T"],
+                T_prev=None,
+            )
+            self._pending_delta = None  # arena poses are already corrected
+        elif self._pending_delta is not None:
+            delta = self._pending_delta
+            chain["T"] = lie.sim3_mul(delta, chain["T"])
+            if chain["T_prev"] is not None:
+                chain["T_prev"] = lie.sim3_mul(delta, chain["T_prev"])
+            self._pending_delta = None
+        return chain
+
+    def _warm_idx(self) -> jax.Array:
+        if self.idx_f2k is not None:
+            return self.idx_f2k
+        n = self.keyframes.h * self.keyframes.w
+        return jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (1, n))
+
     def dispatch(self, frame: Frame, T_init: Optional[jax.Array] = None):
         """Dispatch the one-program chained tracking step for `frame`. NO
         host sync happens here — the keyframe/skip decision runs on device
@@ -588,19 +698,7 @@ class FrameTracker:
                 self._img_downsample, use_calib=self._calib_live(),
             )
 
-        chain = self._chain
-        if chain is None or chain["kf_idx"] != kf_idx:
-            kf = self._kf_state(kf_idx)
-            chain = dict(
-                kf_idx=kf_idx,
-                feat=kf["feat"],
-                pos=kf["pos"],
-                X=kf["X"],
-                C=kf["C"],
-                N=jnp.asarray(kf["N"], jnp.float32),
-                T=kf["T"],
-                T_prev=None,
-            )
+        chain = self._ensure_chain(kf_idx)
         T_WCf = chain["T_prev"]
         if T_WCf is None:
             T_WCf = T_init if T_init is not None else frame.T_WC
@@ -631,6 +729,59 @@ class FrameTracker:
         )
         return dict(frame=frame, out=out)
 
+    def dispatch_window(
+        self,
+        frames: list,
+        imgs: jax.Array,  # [K, H, W, 3] uint8/float, ONE batched transfer
+        T_init: Optional[jax.Array] = None,
+    ):
+        """ONE device dispatch for a whole window of frames (the scanned
+        chain program): params ship once, images ship as the given batch,
+        and the stats for all frames come back in one stacked array.
+
+        Returns a window handle (frames + stacked outputs), or None if
+        there is no keyframe yet.
+        """
+        kf_idx = self.keyframes.last_index()
+        if kf_idx is None:
+            return None
+        if self._fused_scan is None:
+            self._fused_scan = _make_fused_track_chain_scan(
+                self.model, self.cfg, self.cfg.filtering_mode,
+                self._img_downsample, use_calib=self._calib_live(),
+            )
+        chain = self._ensure_chain(kf_idx)
+        T_WCf = chain["T_prev"]
+        if T_WCf is None:
+            T_WCf = T_init if T_init is not None else frames[0].T_WC
+
+        out = self._fused_scan(
+            self.model.params,
+            imgs,
+            chain["feat"],
+            chain["pos"],
+            self._warm_idx(),
+            chain["X"],
+            chain["C"],
+            chain["N"],
+            T_WCf,
+            chain["T"],
+            self.keyframes.K if self._calib_live() else None,
+        )
+        fin = out["final"]
+        self.idx_f2k = fin["idx"]
+        self._chain = dict(
+            kf_idx=chain["kf_idx"],
+            feat=fin["kf_feat"],
+            pos=fin["kf_pos"],
+            X=fin["kf_X"],
+            C=fin["kf_C"],
+            N=fin["kN"],
+            T=fin["kf_T"],
+            T_prev=fin["T_prev"],
+        )
+        return dict(frames=frames, out=out, window=True)
+
     def sync_chain(self, handles: list) -> np.ndarray:
         """Fetch all handles' stats bundles in ONE host round trip.
 
@@ -639,45 +790,44 @@ class FrameTracker:
         stats = jnp.stack([h["out"]["stats"] for h in handles])
         return np.asarray(stats)
 
-    def commit_chain_frame(self, handle, stats_row, tracked: bool = True):
+    def commit_chain_frame(self, frame, row, stats_row, tracked: bool = True):
         """Record one chained frame's results host-side (no sync — the
-        stats row came from `sync_chain`)."""
-        out, frame = handle["out"], handle["frame"]
+        stats row came from the window's one stats fetch). `row` indexes
+        the frame's outputs (a dict or a WindowRow)."""
         self.last_stats = dict(
             match_frac=float(stats_row[0]),
             match_frac_k=float(stats_row[1]),
             unique_frac_f=float(stats_row[2]),
         )
-        frame.feat, frame.pos = out["feat"], out["pos"]
-        frame.X_canon, frame.C = out["frame_X"], out["frame_C"]
+        frame.feat, frame.pos = row["feat"], row["pos"]
+        frame.X_canon, frame.C = row["frame_X"], row["frame_C"]
         frame.N = frame.N_updates = 1
         if tracked:
-            frame.T_WC = out["T_WCf"]
+            frame.T_WC = row["T_WCf"]
 
     def abort_chain(self) -> None:
         """Drop the device chain (reloc / mode change); the next dispatch
         rebuilds from the arena."""
         self._chain = None
         self._kf_cache = None
+        self._pending_delta = None
         self.reset_idx_f2k()
 
-    def refresh_chain(self, kf_idx: int, pose_dirty: bool = False) -> None:
-        """Re-anchor the live chain after a window drain: `kf_idx` is the
-        arena slot of the chain's current keyframe (it moves on promotion
-        or eviction compaction). With `pose_dirty` (backend solved during
-        the drain), adopt the arena's corrected keyframe pose and remap the
-        last frame pose by the same world-side correction so the next GN
-        init stays consistent."""
-        ch = self._chain
-        if ch is None:
-            return
-        ch["kf_idx"] = kf_idx
-        if pose_dirty:
-            T_arena = self.keyframes.T_WC[kf_idx]
-            delta = lie.sim3_mul(T_arena, lie.sim3_inv(ch["T"]))
-            ch["T"] = T_arena
-            if ch["T_prev"] is not None:
-                ch["T_prev"] = lie.sim3_mul(delta, ch["T_prev"])
+    def push_pose_delta(self, delta: jax.Array) -> None:
+        """Queue a world-frame pose correction (arena pose vs the chain's
+        belief, from a backend solve) for the next dispatch. Left deltas
+        compose and commute through promotions, so queueing is exact even
+        with a window in flight."""
+        if self._pending_delta is None:
+            self._pending_delta = delta
+        else:
+            self._pending_delta = lie.sim3_mul(delta, self._pending_delta)
+
+    def refresh_chain(self, kf_idx: int) -> None:
+        """Re-anchor the live chain's arena slot after a window drain (it
+        moves on promotion or eviction compaction)."""
+        if self._chain is not None:
+            self._chain["kf_idx"] = kf_idx
 
     def track(self, frame: Frame, mast3r_match_fn: Callable):
         """Returns (new_kf: bool, match_info: list, try_reloc: bool)."""

@@ -82,5 +82,9 @@ class TestPipelineEquivalence:
         path = _dataset(tmp_path)
         slam, _ = _run(tiny_model, path, pipeline=True)
         assert slam.tracker.can_pipeline
-        # the fused chained program was built and used
-        assert slam.tracker._fused_chain is not None
+        # a fused chained program was built and used (scanned window path
+        # and/or the per-frame tail path)
+        assert (
+            slam.tracker._fused_scan is not None
+            or slam.tracker._fused_chain is not None
+        )

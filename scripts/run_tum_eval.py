@@ -28,6 +28,15 @@ def main(argv=None) -> int:
     ap.add_argument("--config", default=None)
     ap.add_argument("--model-type", default="mast3r_full")
     ap.add_argument("--resolution", type=int, default=512)
+    ap.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    ap.add_argument(
+        "--checkpoint", default=None, metavar="PATH",
+        help="local upstream safetensors/.pth/.npz weights "
+        "(MASt3R_ViTLarge_BaseDecoder_512_catmlpdpt_metric layout); loads "
+        "strict through models/io.py. Expected bf16-vs-upstream tolerance: "
+        "pointmaps agree to ~1e-2 relative (bf16 mantissa), ATE-RMSE is the "
+        "meaningful parity metric (SURVEY §7 'Precision').",
+    )
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--out", default="out")
     args = ap.parse_args(argv)
@@ -43,10 +52,19 @@ def main(argv=None) -> int:
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
 
+    if args.checkpoint:
+        from mast3r_slam_tpu.config import get_config, load_config, set_config
+
+        cfg = load_config(args.config) if args.config else get_config()
+        cfg.model.checkpoint = args.checkpoint
+        set_config(cfg)
+        args.config = None  # already installed globally
+
     slam = SLAM(
         config_path=args.config,
         model_type=args.model_type,
         resolution=args.resolution,
+        precision=args.precision,
     )
     ds = load_dataset(args.dataset)
     t0 = time.perf_counter()

@@ -653,3 +653,100 @@ class TestLayerFixtures:
         cos, sin = rope_2d_angles(jnp.asarray(pos_xy), D, 100.0)
         ours = np.asarray(apply_rope(jnp.asarray(x), cos, sin))
         np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+class TestFullScaleReadiness:
+    """Real-weights readiness at ViT-L/16 512-class scale, without weights
+    (no egress here): the full key surface and every tensor shape are
+    pinned so a released checkpoint on disk loads with zero code changes
+    (VERDICT r2 item 2)."""
+
+    def test_vitl_key_surface_and_shapes(self):
+        """Torch twin at REAL ViT-L dims on the meta device (no memory) vs
+        flax `jax.eval_shape` (no compute): key sets AND per-tensor torch
+        layouts must agree exactly."""
+        from mast3r_slam_tpu.models.io import (
+            _DENSE_AS_CONV1X1,
+            _flax_path_to_torch_name,
+        )
+        from mast3r_slam_tpu.models.mast3r import MASt3RNet
+
+        with torch.device("meta"):
+            tm = TorchMASt3R(
+                enc_dim=1024, enc_depth=24, enc_heads=16,
+                dec_dim=768, dec_depth=12, dec_heads=12,
+                patch_size=16, head_type="dpt",
+            )
+        theirs = {
+            k: tuple(v.shape)
+            for k, v in tm.state_dict().items()
+            if not _is_ignored_key(k)
+        }
+
+        cfg = MASt3RConfig.mast3r_full("bf16")
+        net = MASt3RNet(cfg)
+        img = jax.ShapeDtypeStruct((1, 384, 512, 3), jnp.float32)
+        params = jax.eval_shape(net.init, jax.random.PRNGKey(0), img, img)
+
+        def torch_shape(name: str, shape) -> tuple:
+            if not name.endswith("weight"):
+                return tuple(shape)
+            if _DENSE_AS_CONV1X1.search(name):
+                return (shape[1], shape[0], 1, 1)
+            if len(shape) == 2:
+                return (shape[1], shape[0])
+            if len(shape) == 4:
+                return (shape[3], shape[2], shape[0], shape[1])
+            return tuple(shape)
+
+        ours = {}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+            keys = tuple(p.key if hasattr(p, "key") else str(p) for p in path)
+            name = _flax_path_to_torch_name(keys)
+            ours[name] = torch_shape(name, leaf.shape)
+
+        assert set(ours) == set(theirs), (
+            f"only-ours={sorted(set(ours) - set(theirs))[:10]} "
+            f"only-upstream={sorted(set(theirs) - set(ours))[:10]}"
+        )
+        mismatched = {
+            k: (ours[k], theirs[k]) for k in ours if ours[k] != theirs[k]
+        }
+        assert not mismatched, f"shape mismatches: {list(mismatched.items())[:8]}"
+        # spot-pin the class-defining dims
+        assert theirs["enc_blocks.23.attn.qkv.weight"] == (3072, 1024)
+        assert theirs["dec_blocks2.11.cross_attn.projq.weight"] == (768, 768)
+
+    def test_full_depth_synthetic_checkpoint_strict_load(self, tmp_path):
+        """A synthetic upstream-named safetensors with the FULL key surface
+        (24 encoder + 12+12 decoder blocks, complete DPT + local-features
+        heads, including the documented-dead upstream keys) round-trips
+        through disk and loads STRICT via models/io.load_checkpoint_into."""
+        from safetensors.numpy import save_file
+
+        from mast3r_slam_tpu.models.io import load_checkpoint_into
+
+        torch.manual_seed(0)
+        tm = TorchMASt3R(
+            enc_dim=64, enc_depth=24, enc_heads=2,
+            dec_dim=48, dec_depth=12, dec_heads=2,
+            patch_size=16, head_type="dpt",
+        )
+        state = _np_state_dict(tm)
+        assert any(k.startswith("enc_blocks.23.") for k in state)
+        assert any(k.startswith("dec_blocks2.11.") for k in state)
+        path = str(tmp_path / "synthetic_upstream.safetensors")
+        save_file(state, path)
+
+        cfg = MASt3RConfig(
+            enc_embed_dim=64, enc_depth=24, enc_num_heads=2, patch_size=16,
+            dec_embed_dim=48, dec_depth=12, dec_num_heads=2,
+            head_type="dpt", dtype=jnp.float32,
+        )
+        fm = MASt3RModel.create(resolution=64, _test_cfg=cfg)
+        params = load_checkpoint_into(fm.params, path, strict=True)
+        got = np.asarray(
+            params["params"]["encoder"]["blocks_23"]["attn"]["qkv"]["kernel"]
+        )
+        want = state["enc_blocks.23.attn.qkv.weight"].T
+        np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -82,6 +82,10 @@ class TrackingConfig:
     delta_norm: float = 1e-3
     max_iters: int = 10
     huber: float = 1.345
+    # Robust IRLS loss: huber (reference default) | tukey (redescending —
+    # reference optimizer.py:65 defined it but no config could select it)
+    robust: str = "huber"
+    tukey_t: float = 4.6851
     sigma_ray: float = 0.003
     sigma_dist: float = 10.0
     sigma_pixel: float = 1.0
@@ -109,6 +113,8 @@ class LocalOptConfig:
     depth_eps: float = 0.0
     delta_norm: float = 1e-3
     huber: float = 1.345
+    robust: str = "huber"  # huber | tukey (see TrackingConfig.robust)
+    tukey_t: float = 4.6851
     # Static capacity of the edge store (factor graph); a TPU-specific knob —
     # shapes under jit must be static, so edges live in a fixed arena.
     max_edges: int = 256

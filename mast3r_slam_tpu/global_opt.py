@@ -273,6 +273,8 @@ class FactorGraph:
             C_thresh=c.C_conf,
             Q_thresh=c.Q_conf,
             huber_k=c.huber,
+            robust=c.robust,
+            tukey_t=c.tukey_t,
             max_iter=c.max_iters,
             delta_thresh=c.delta_norm,
             pixel_border=c.pixel_border,

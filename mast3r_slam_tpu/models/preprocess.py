@@ -131,3 +131,71 @@ def resize_img(
         half_crop_h = (H - pil.size[1]) / 2
         return res, (scale_w, scale_h, half_crop_w, half_crop_h)
     return res
+
+
+# ---------------------------------------------------------------------------
+# Device-side resize (reference image.py:103-176 — defined there but its
+# pipeline always resizes on host; live here for library use, e.g.
+# resizing pointmap-aligned buffers already resident in HBM)
+# ---------------------------------------------------------------------------
+
+
+def _interp_matrix_jnp(n_out: int, n_in: int, dtype):
+    """Align-corners bilinear interpolation matrix [n_out, n_in].
+
+    TPU-first: a resize along one axis becomes ONE dense matmul (MXU)
+    instead of a gather — same trick the DPT head uses for its fixed
+    upsamples (heads.py:77-84)."""
+    import jax.numpy as jnp
+
+    if n_out == n_in:
+        return jnp.eye(n_out, dtype=dtype)
+    pos = jnp.arange(n_out, dtype=jnp.float32) * (
+        (n_in - 1) / max(n_out - 1, 1)
+    )
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 2)
+    frac = pos - lo.astype(jnp.float32)
+    m = jnp.zeros((n_out, n_in), jnp.float32)
+    rows = jnp.arange(n_out)
+    m = m.at[rows, lo].set(1.0 - frac).at[rows, lo + 1].set(frac)
+    return m.astype(dtype)
+
+
+def resize_image_device(img, target_size, keep_aspect: bool = True):
+    """Bilinear resize of a device-resident image, [H, W, C] or [C, H, W]
+    (auto-detected like the reference's `resize_image`, image.py:103-158,
+    which samples the same align-corners grid but nearest-neighbor; its
+    pipeline never calls it — host PIL does all input resizing — so this
+    upgrade to bilinear changes no parity surface). Separable
+    align-corners interpolation as two matmuls — gather-free, MXU-tiled.
+    `target_size` is an int (long edge if keep_aspect, square otherwise)
+    or an (h, w) tuple. Shapes are static under jit as long as
+    target_size is a Python constant."""
+    import jax.numpy as jnp
+
+    img = jnp.asarray(img)
+    if img.ndim != 3:
+        raise ValueError(f"expected 3D image, got shape {img.shape}")
+    hwc = img.shape[-1] in (1, 3, 4)
+    if not hwc:
+        img = jnp.transpose(img, (1, 2, 0))  # CHW -> HWC
+    h, w = img.shape[:2]
+    if isinstance(target_size, (tuple, list)):
+        th, tw = int(target_size[0]), int(target_size[1])
+    elif keep_aspect:
+        # truncation (not round) matches reference image.py:133-135
+        scale = target_size / max(h, w)
+        th, tw = int(h * scale), int(w * scale)
+    else:
+        th = tw = int(target_size)
+    dtype = img.dtype if jnp.issubdtype(img.dtype, jnp.floating) else jnp.float32
+    x = img.astype(dtype)
+    Mh = _interp_matrix_jnp(th, h, dtype)  # [th, h]
+    Mw = _interp_matrix_jnp(tw, w, dtype)  # [tw, w]
+    x = jnp.einsum("oh,hwc->owc", Mh, x)
+    x = jnp.einsum("pw,owc->opc", Mw, x)
+    if not jnp.issubdtype(img.dtype, jnp.floating):
+        x = jnp.clip(jnp.round(x), 0, 255).astype(img.dtype)
+    if not hwc:
+        x = jnp.transpose(x, (2, 0, 1))
+    return x

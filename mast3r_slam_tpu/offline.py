@@ -102,6 +102,8 @@ class OfflineReconstructor:
             sigma_ray=t.sigma_ray,
             sigma_dist=t.sigma_dist,
             huber_k=t.huber,
+            robust=t.robust,
+            tukey_t=t.tukey_t,
             max_iter=t.max_iters,
             delta_thresh=t.delta_norm,
         )

@@ -55,6 +55,24 @@ def huber_weight(r: jax.Array, k: float = 1.345) -> jax.Array:
     return jnp.where(r_abs < k, 1.0, k / jnp.maximum(r_abs, 1e-12))
 
 
+def tukey_weight(r: jax.Array, t: float = 4.6851) -> jax.Array:
+    """IRLS Tukey biweight: (1-(r/t)^2)^2 inside the t-tube, 0 outside —
+    a redescending loss that fully rejects gross outliers (reference
+    optimizer.py:65-78, defined there but never selected by any config;
+    here it is live via the `robust` knob)."""
+    tmp = 1.0 - (r / t) ** 2
+    return jnp.where(jnp.abs(r) < t, tmp * tmp, 0.0)
+
+
+def robust_weight(r: jax.Array, p: "GNParams") -> jax.Array:
+    """Robust IRLS weight selected by p.robust (a trace-time constant)."""
+    if p.robust == "huber":
+        return huber_weight(r, p.huber_k)
+    if p.robust == "tukey":
+        return tukey_weight(r, p.tukey_t)
+    raise ValueError(f"unknown robust kind {p.robust!r}")
+
+
 class GNParams(NamedTuple):
     """Solver knobs (defaults = reference local_opt config, config.py:92-105)."""
 
@@ -65,6 +83,8 @@ class GNParams(NamedTuple):
     C_thresh: float = 0.0
     Q_thresh: float = 1.5
     huber_k: float = 1.345
+    robust: str = "huber"  # huber | tukey (trace-time constant)
+    tukey_t: float = 4.6851
     max_iter: int = 10
     delta_thresh: float = 1e-3
     pixel_border: int = 0
@@ -189,7 +209,7 @@ def _edge_system(
         raise ValueError(f"unknown GN mode {mode!r}")
 
     sqrt_conf = jnp.sqrt(jnp.maximum(Q, 0.0))[:, None, :]  # [E, 1, N]
-    hub = huber_weight(sqrt_conf * r, p.huber_k)  # [E, 3, N]
+    hub = robust_weight(sqrt_conf * r, p)  # [E, 3, N]
     w = hub * (Q * weight_mask * gate)[:, None, :]  # [E, 3, N]
     sw = jnp.sqrt(w)
 
@@ -485,7 +505,7 @@ def _pose_gn_loop_rays_soa(
         )  # [4, N]
 
         wr = w_t * res
-        robust = w_t * jnp.sqrt(huber_weight(wr, p.huber_k))
+        robust = w_t * jnp.sqrt(robust_weight(wr, p))
         z = jnp.zeros_like(d)
         # J = -(drd/dX @ Jp): rows stacked as B[r][a] over a in 0..6
         jrow = [
@@ -585,7 +605,7 @@ def gauss_newton_pose_calib(
         res = jnp.stack([meas_t[0] - u, meas_t[1] - v, meas_t[2] - logz]) * gate
 
         wr = w_t * res
-        robust = w_t * jnp.sqrt(huber_weight(wr, p.huber_k)) * gate
+        robust = w_t * jnp.sqrt(robust_weight(wr, p)) * gate
         # Projection rows (d pz / dX, z_inv semantics of project_calib):
         rows = (
             (fx * zi, jnp.zeros_like(z), -fx * x * zi * zi),
@@ -642,3 +662,63 @@ def gauss_newton_pose_calib(
     return T_out, final_cost
 
 
+
+# ---------------------------------------------------------------------------
+# Generic GN solver over a user residual model
+# ---------------------------------------------------------------------------
+
+
+class GaussNewtonSolver:
+    """Generic robust Gauss-Newton over a user residual model (the
+    reference's `GaussNewtonOptimizer`, optimizer.py:229-289 — defined
+    there but never instantiated by its own pipeline; live here for
+    library use, e.g. custom calibration objectives).
+
+    TPU-native shape: the whole IRLS loop is ONE `lax.while_loop` inside a
+    jitted program — no per-iteration host round trips (the reference
+    version runs a Python `for` with `mx.eval` per step). `residual_fn`
+    must be jax-traceable: params [n] -> (r [M], J [M, n]). Robust
+    weighting (huber/tukey via GNParams.robust), normal equations solved
+    by regularized Cholesky, Euclidean update (pose solvers with manifold
+    retractions are the dedicated entry points above).
+    """
+
+    def __init__(self, params: GNParams = GNParams(), rel_error: float = 1e-3):
+        self.p = params
+        self.rel_error = rel_error
+
+    def solve(self, residual_fn, x0: jax.Array, sqrt_info: jax.Array):
+        """Returns (x, final_cost, iterations). Jit-safe: call inside jit,
+        or rely on the internal jit for standalone use."""
+        p, rel = self.p, self.rel_error
+
+        def step(x):
+            r, J = residual_fn(x)
+            wr = sqrt_info * r
+            rob = sqrt_info * jnp.sqrt(robust_weight(wr, p))
+            A = rob[:, None] * J  # [M, n]
+            b = rob * r  # [M]
+            H = A.T @ A
+            g = A.T @ b
+            cost = 0.5 * jnp.sum(b * b)
+            dx = cholesky_solve(H, -g, reg=p.reg)
+            dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
+            return x + dx, jnp.linalg.norm(dx), cost
+
+        def cond(carry):
+            _, it, old_cost, new_cost, dn = carry
+            converged = (
+                jnp.abs(old_cost - new_cost) / (old_cost + 1e-10) < rel
+            ) | (dn < p.delta_thresh)
+            return (it < p.max_iter) & ~((it > 0) & converged)
+
+        def body(carry):
+            x, it, _old, new_cost, _dn = carry
+            x2, dn, cost = step(x)
+            return x2, it + 1, new_cost, cost, dn
+
+        inf = jnp.asarray(jnp.inf, x0.dtype)
+        x_out, iters, _, cost, _ = jax.lax.while_loop(
+            cond, body, (x0, 0, inf, inf, inf)
+        )
+        return x_out, cost, iters

@@ -72,6 +72,8 @@ def _make_batch_program(model, cfg, filtering_mode: str, mesh=None,
         cfg.rel_error,
         cfg.delta_norm,
         cfg.match_frac_thresh,
+        cfg.robust,
+        cfg.tukey_t,
     )
     out_hw = model._out_hw
 

@@ -65,6 +65,8 @@ def _track_core_rays(
         rel_error,
         delta_norm,
         match_frac_thresh,
+        robust,
+        tukey_t,
     ) = cfg_key
     n = idx_f2k.shape[0]
 
@@ -92,6 +94,8 @@ def _track_core_rays(
         sigma_ray=sigma_ray,
         sigma_dist=sigma_dist,
         huber_k=huber_k,
+        robust=robust,
+        tukey_t=tukey_t,
         max_iter=max_iters,
         delta_thresh=delta_norm,
     )
@@ -150,6 +154,8 @@ def _track_core_calib(
         match_frac_thresh,
         pixel_border,
         depth_eps,
+        robust,
+        tukey_t,
     ) = cfg_key
     n = idx_f2k.shape[0]
 
@@ -183,6 +189,8 @@ def _track_core_calib(
         sigma_pixel=sigma_pixel,
         sigma_depth=sigma_depth,
         huber_k=huber_k,
+        robust=robust,
+        tukey_t=tukey_t,
         max_iter=max_iters,
         delta_thresh=delta_norm,
         pixel_border=pixel_border,
@@ -224,6 +232,8 @@ def _calib_cfg_key(cfg) -> tuple:
         cfg.match_frac_thresh,
         cfg.pixel_border,
         cfg.depth_eps,
+        cfg.robust,
+        cfg.tukey_t,
     )
 
 
@@ -288,6 +298,8 @@ def _make_fused_track_chain(
             cfg.rel_error,
             cfg.delta_norm,
             cfg.match_frac_thresh,
+            cfg.robust,
+            cfg.tukey_t,
         )
     out_hw = model._out_hw
     f = max(1, img_downsample)
@@ -519,6 +531,8 @@ def _make_fused_track(model, cfg, filtering_mode: str, use_calib: bool = False):
             cfg.rel_error,
             cfg.delta_norm,
             cfg.match_frac_thresh,
+            cfg.robust,
+            cfg.tukey_t,
         )
     out_hw = model._out_hw
 
@@ -868,6 +882,8 @@ class FrameTracker:
             c.rel_error,
             c.delta_norm,
             c.match_frac_thresh,
+            c.robust,
+            c.tukey_t,
         )
         out = _track_core_rays(
             idx0,
@@ -1022,6 +1038,8 @@ class FrameTracker:
             sigma_pixel=c.sigma_pixel,
             sigma_depth=c.sigma_depth,
             huber_k=c.huber,
+            robust=c.robust,
+            tukey_t=c.tukey_t,
             max_iter=c.max_iters,
             delta_thresh=c.delta_norm,
             pixel_border=c.pixel_border,

@@ -67,3 +67,46 @@ class TestEuRoCAspectE2E:
         assert np.all(np.isfinite(results["poses"]))
         # keyframe pointmaps live at the processed (non-canonical) shape
         assert slam.keyframes.h == 32 and slam.keyframes.w == 64
+
+
+class TestDeviceResize:
+    """Device-side bilinear resize (reference image.py:103-158 analog —
+    separable align-corners matmuls, gather-free)."""
+
+    def test_matches_numpy_align_corners_oracle(self, rng):
+        from mast3r_slam_tpu.models.preprocess import resize_image_device
+
+        img = rng.uniform(size=(17, 23, 3)).astype(np.float32)
+        th, tw = 9, 31
+
+        def oracle_axis(a, n_out, axis):
+            n_in = a.shape[axis]
+            pos = np.arange(n_out) * ((n_in - 1) / max(n_out - 1, 1))
+            lo = np.clip(np.floor(pos).astype(int), 0, n_in - 2)
+            fr = (pos - lo).reshape([-1 if i == axis else 1 for i in range(a.ndim)])
+            return (
+                np.take(a, lo, axis) * (1 - fr) + np.take(a, lo + 1, axis) * fr
+            )
+
+        want = oracle_axis(oracle_axis(img, th, 0), tw, 1)
+        got = np.asarray(resize_image_device(img, (th, tw)))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_format_and_dtype_semantics(self, rng):
+        from mast3r_slam_tpu.models.preprocess import resize_image_device
+
+        u8 = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+        out = resize_image_device(u8, 32)  # long edge, truncating scale
+        assert out.shape == (24, 32, 3) and out.dtype == np.uint8
+        chw = resize_image_device(np.zeros((3, 48, 64), np.float32), (12, 16))
+        assert chw.shape == (3, 12, 16)
+        sq = resize_image_device(u8, 20, keep_aspect=False)
+        assert sq.shape == (20, 20, 3)
+
+    def test_identity_when_same_size(self, rng):
+        from mast3r_slam_tpu.models.preprocess import resize_image_device
+
+        img = rng.uniform(size=(8, 10, 1)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(resize_image_device(img, (8, 10))), img, atol=1e-6
+        )

@@ -328,3 +328,109 @@ class TestShardedGraphSolve:
         assert fg.add_factors([0, 1], [1, 2], min_match_frac=0.0)
         fg.solve_GN_rays()
         assert np.isfinite(np.asarray(kfs.get_poses())).all()
+
+
+class TestRobustKinds:
+    def test_tukey_weight_formula(self):
+        """Biweight: 1 at r=0, (1-(r/t)^2)^2 inside, exactly 0 outside
+        (reference optimizer.py:65-78)."""
+        from mast3r_slam_tpu.ops.gauss_newton import tukey_weight
+
+        t = 4.6851
+        r = jnp.asarray([0.0, t / 2, t - 1e-3, t, 2 * t])
+        w = np.asarray(tukey_weight(r, t))
+        assert w[0] == 1.0
+        np.testing.assert_allclose(w[1], (1 - 0.25) ** 2, rtol=1e-6)
+        assert w[2] > 0.0
+        assert w[3] == 0.0 and w[4] == 0.0
+
+    def test_tukey_rejects_gross_outliers_fully(self, rng):
+        """Pose solve with 15% gross outliers: the redescending Tukey loss
+        zero-weights them and recovers the pose at least as tightly as
+        Huber (which only downweights)."""
+        h, w = 12, 16
+        K = camera_K(h, w)
+        Xk = np.asarray(world_surface(rng, h, w, K))
+        xi_gt = rng.normal(size=7) * 0.05
+        T_gt = lie.sim3_exp(jnp.asarray(xi_gt, jnp.float32))
+        Xf = np.asarray(
+            lie.sim3_act(lie.sim3_inv(T_gt)[None], jnp.asarray(Xk))
+        ).copy()
+        n = h * w
+        bad = rng.choice(n, n * 15 // 100, replace=False)
+        Xf[bad] += rng.normal(size=(len(bad), 3)) * 1.5
+
+        rd_k = point_to_ray_dist(jnp.asarray(Xk))
+        sqrt_info = jnp.concatenate(
+            [jnp.full((n, 3), 1.0 / 0.003), jnp.full((n, 1), 1.0 / 10.0)], -1
+        )
+        # Huber warm start, Tukey polish — the standard redescending-loss
+        # recipe (tukey's influence is zero outside the tube, so it needs
+        # an init inside the inlier basin; huber is globally convex).
+        T_hub, _ = gauss_newton_pose_rays(
+            lie.sim3_identity(), jnp.asarray(Xf), rd_k, sqrt_info,
+            params=GNParams(robust="huber", max_iter=30, delta_thresh=1e-10),
+        )
+        T_tuk, _ = gauss_newton_pose_rays(
+            T_hub, jnp.asarray(Xf), rd_k, sqrt_info,
+            params=GNParams(robust="tukey", max_iter=30, delta_thresh=1e-10),
+        )
+        err_hub = pose_distance(T_hub, T_gt)
+        err_tuk = pose_distance(T_tuk, T_gt)
+        # huber's estimate is biased by the downweighted-but-live outliers
+        # (bounded but nonzero influence); tukey zero-weights every point
+        # outside the tube and must tighten the estimate
+        assert err_tuk < err_hub, (err_tuk, err_hub)
+        assert err_tuk < 0.1, (err_tuk, err_hub)
+
+    def test_graph_solver_accepts_tukey(self, rng):
+        prob = make_graph_problem(rng, num_kf=3, h=8, w=12, permute=False)
+        Twc0 = perturb_poses(rng, prob["Twc_gt"], mag=0.03)
+        Twc_new, _ = gauss_newton_graph(
+            Twc0, prob["Xs"], prob["Cs"], prob["ii"], prob["jj"],
+            prob["idx"], prob["valid"], prob["Q"],
+            jnp.ones(prob["ii"].shape[0], bool), _free_mask(3),
+            mode="rays",
+            params=GNParams(robust="tukey", max_iter=10, delta_thresh=1e-6),
+        )
+        for k in range(1, 3):
+            assert pose_distance(Twc_new[k], prob["Twc_gt"][k]) < 0.05
+
+
+class TestGenericSolver:
+    def test_recovers_linear_model_with_outliers(self, rng):
+        """The generic residual-callback solver (reference
+        optimizer.py:229, never instantiated there) fits y = a x + b under
+        20% gross outliers with the tukey loss."""
+        from mast3r_slam_tpu.ops.gauss_newton import GaussNewtonSolver
+
+        a_gt, b_gt = 2.0, -1.0
+        x = rng.uniform(-2, 2, size=128).astype(np.float32)
+        y = a_gt * x + b_gt + rng.normal(size=128).astype(np.float32) * 0.01
+        bad = rng.choice(128, 25, replace=False)
+        y[bad] += rng.normal(size=25) * 5.0
+        xj, yj = jnp.asarray(x), jnp.asarray(y)
+
+        def residual_fn(p):
+            r = p[0] * xj + p[1] - yj
+            J = jnp.stack([xj, jnp.ones_like(xj)], axis=-1)
+            return r, J
+
+        # huber warm start pulls into the inlier basin; tukey polish
+        # zero-weights the outliers entirely (see TestRobustKinds)
+        warm = GaussNewtonSolver(
+            GNParams(robust="huber", huber_k=0.5, max_iter=30,
+                     delta_thresh=1e-10)
+        )
+        p_warm, _, _ = warm.solve(
+            residual_fn, jnp.asarray([1.0, 0.0]), jnp.ones(128)
+        )
+        solver = GaussNewtonSolver(
+            GNParams(robust="tukey", tukey_t=0.5, max_iter=30,
+                     delta_thresh=1e-10)
+        )
+        p_est, cost, iters = solver.solve(residual_fn, p_warm, jnp.ones(128))
+        np.testing.assert_allclose(
+            np.asarray(p_est), [a_gt, b_gt], atol=5e-3
+        )
+        assert int(iters) >= 2

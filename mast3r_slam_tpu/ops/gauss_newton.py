@@ -99,10 +99,10 @@ class GNParams(NamedTuple):
 
 def _edge_system(
     Twc: jax.Array,  # [K, 8]
-    Xs: jax.Array,  # [K, N, 3]
+    Xi_t: jax.Array,  # [E, 3, N] gathered i-side points (pose-independent)
+    Xj_t: jax.Array,  # [E, 3, N] j-side points
     ii: jax.Array,  # [E]
     jj: jax.Array,  # [E]
-    idx_ii2jj: jax.Array,  # [E, N] correspondence: point n of j <-> idx[n] of i
     weight_mask: jax.Array,  # [E, N] pose-independent weights (conf gates etc.)
     Q: jax.Array,  # [E, N] match confidence
     mode: str,
@@ -114,6 +114,11 @@ def _edge_system(
 
     Returns S [E,7,7], b [E,7] (gradient contribution of pose j; pose i gets
     -b), and the scalar cost.
+
+    `Xi_t`/`Xj_t` arrive pre-gathered: the correspondence gather is
+    pose-INDEPENDENT, so the caller hoists it out of the GN iteration loop
+    (TPU gathers pay per row — re-gathering E x N rows every while_loop
+    iteration was pure waste; see gauss_newton_graph).
 
     SoA layout (same rationale as `_pose_gn_loop_rays_soa`): per-point
     Jacobian stacks live as [E, R, 7, N] with N on the lane axis, never as
@@ -127,10 +132,6 @@ def _edge_system(
     Ti = Twc[ii]  # [E, 8]
     Tj = Twc[jj]
     Tij = lie.sim3_mul(lie.sim3_inv(Ti), Tj)  # [E, 8]
-
-    Xi = jnp.take_along_axis(Xs[ii], idx_ii2jj[..., None], axis=1)  # [E, N, 3]
-    Xi_t = Xi.transpose(0, 2, 1)  # [E, 3, N]
-    Xj_t = Xs[jj].transpose(0, 2, 1)  # [E, 3, N]
 
     # P = Tij . Xj in SoA: per-edge quaternion rotate + scale + translate.
     t, q, s = Tij[:, :3], Tij[:, 3:7], Tij[:, 7:8]
@@ -247,7 +248,7 @@ def _resolve_edge_chunk(E: int, n_pts: int, edge_chunk: int | None) -> int:
 
 
 def _edge_blocks(
-    Twc_cur, Xs, ii, jj, idx_ii2jj, weight_mask, Q, chunk,
+    Twc_cur, Xi_t, Xj_t, ii, jj, weight_mask, Q, chunk,
     mode, K_intr, img_size, p,
 ):
     """Per-edge 7x7 blocks S [E,7,7] and gradients b [E,7], scanning over
@@ -256,15 +257,15 @@ def _edge_blocks(
     E = ii.shape[0]
     if chunk == E:
         S, b, _cost = _edge_system(
-            Twc_cur, Xs, ii, jj, idx_ii2jj, weight_mask, Q,
+            Twc_cur, Xi_t, Xj_t, ii, jj, weight_mask, Q,
             mode, K_intr, img_size, p,
         )
         return S, b
 
     def chunk_system(_, args):
-        ii_c, jj_c, idx_c, wm_c, Q_c = args
+        Xi_c, Xj_c, ii_c, jj_c, wm_c, Q_c = args
         S_c, b_c, cost_c = _edge_system(
-            Twc_cur, Xs, ii_c, jj_c, idx_c, wm_c, Q_c,
+            Twc_cur, Xi_c, Xj_c, ii_c, jj_c, wm_c, Q_c,
             mode, K_intr, img_size, p,
         )
         return None, (S_c, b_c, cost_c)
@@ -273,7 +274,8 @@ def _edge_blocks(
     _, (S, b, _costs) = jax.lax.scan(
         chunk_system,
         None,
-        (resh(ii), resh(jj), resh(idx_ii2jj), resh(weight_mask), resh(Q)),
+        (resh(Xi_t), resh(Xj_t), resh(ii), resh(jj), resh(weight_mask),
+         resh(Q)),
     )
     return S.reshape(E, 7, 7), b.reshape(E, 7)
 
@@ -335,9 +337,15 @@ def gauss_newton_graph(
     p = params
     K = Twc.shape[0]
 
-    # Pose-independent weight gates (conf thresholds + match validity + edge
-    # mask), computed once outside the iteration loop.
-    Ci = jnp.take_along_axis(Cs[ii], idx_ii2jj, axis=1)  # [E, N]
+    # Pose-independent gathers, hoisted OUT of the iteration loop and
+    # PACKED into one wide-row gather (X 3 lanes + C 1 lane share
+    # idx_ii2jj; TPU gathers pay per row): the solver used to re-gather
+    # E x N i-side points inside every while_loop iteration.
+    src = jnp.concatenate([Xs, Cs[..., None]], axis=-1)[ii]  # [E, N, 4]
+    gath = jnp.take_along_axis(src, idx_ii2jj[..., None], axis=1)
+    Xi_t = gath[..., :3].transpose(0, 2, 1)  # [E, 3, N]
+    Ci = gath[..., 3]  # [E, N]
+    Xj_t = Xs[jj].transpose(0, 2, 1)  # [E, 3, N]
     Cj = Cs[jj]
     weight_mask = (
         valid_match
@@ -363,7 +371,7 @@ def gauss_newton_graph(
     def step(Twc_cur):
         if mesh is None:
             S, b = _edge_blocks(
-                Twc_cur, Xs, ii, jj, idx_ii2jj, weight_mask, Q, chunk,
+                Twc_cur, Xi_t, Xj_t, ii, jj, weight_mask, Q, chunk,
                 mode, K_intr, img_size, p,
             )
             H, g = _assemble_Hg(K, ii, jj, S, b, Twc.dtype)
@@ -374,9 +382,9 @@ def gauss_newton_graph(
             except ImportError:  # pragma: no cover
                 from jax.experimental.shard_map import shard_map
 
-            def local(Twc_l, Xs_l, ii_l, jj_l, idx_l, wm_l, Q_l):
+            def local(Twc_l, Xi_l, Xj_l, ii_l, jj_l, wm_l, Q_l):
                 S_l, b_l = _edge_blocks(
-                    Twc_l, Xs_l, ii_l, jj_l, idx_l, wm_l, Q_l, chunk,
+                    Twc_l, Xi_l, Xj_l, ii_l, jj_l, wm_l, Q_l, chunk,
                     mode, K_intr, img_size, p,
                 )
                 H_l, g_l = _assemble_Hg(K, ii_l, jj_l, S_l, b_l, Twc.dtype)
@@ -388,10 +396,11 @@ def gauss_newton_graph(
                 local,
                 mesh=mesh,
                 in_specs=(
-                    P(), P(), P("dp"), P("dp"), P("dp"), P("dp"), P("dp")
+                    P(), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
+                    P("dp"),
                 ),
                 out_specs=(P(), P()),
-            )(Twc_cur, Xs, ii, jj, idx_ii2jj, weight_mask, Q)
+            )(Twc_cur, Xi_t, Xj_t, ii, jj, weight_mask, Q)
 
         # Pin: zero rows/cols of non-free poses, identity diagonal.
         H = H * freeF[:, None, None, None] * freeF[None, :, None, None]

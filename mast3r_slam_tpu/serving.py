@@ -115,12 +115,19 @@ def _make_batch_program(model, cfg, filtering_mode: str, mesh=None,
         )
         kX2, kC2, kN2 = fuse_pointmap_masked(kX, kC, kN, core["Xkk"], Ckf, filtering_mode)
         stats = jnp.concatenate([core["stats"], fN2[None], kN2[None]])
+        # On-device tracked gate (min_match_frac = cfg_key[2]): the state
+        # update no longer needs the host to see stats, so batches can be
+        # dispatched back-to-back with the stats fetch deferred/overlapped
+        # (same zero-sync design as the chained tracking loop).
+        tracked = core["stats"][0] >= cfg_key[2]
         return dict(
-            T_WC=core["T_WCf"],
+            T_WC=jnp.where(tracked, core["T_WCf"], T),
             fr_X=fX2,
             fr_C=fC2,
-            kf_X=kX2,
-            kf_C=kC2,
+            fr_N=fN2,
+            kf_X=jnp.where(tracked, kX2, kX),
+            kf_C=jnp.where(tracked, kC2, kC),
+            kf_N=jnp.where(tracked, kN2, kN),
             stats=stats,
         )
 
@@ -241,12 +248,14 @@ class BatchTracker:
             T_WC=sh(ident),
         )
 
-    def step(self, feats: jax.Array, poss: jax.Array) -> dict:
-        """Track one new frame per sequence (pre-encoded features).
-
-        Returns dict with poses [B, 8], per-sequence match fractions and
-        new-keyframe flags (host numpy), and updates the batched state.
-        """
+    def step_async(self, feats: jax.Array, poss: jax.Array) -> jax.Array:
+        """Track one new frame per sequence (pre-encoded features) with NO
+        host sync: the tracked/untracked gate is applied on device inside
+        the program, the batched state updates from device arrays only, and
+        the per-sequence stats come back as a DEVICE array [B, 5] the
+        caller fetches whenever convenient (e.g. every K batches, or
+        overlapped with the next batch's compute). Feed the handle to
+        `resolve_stats` for the host-side interpretation."""
         s = self.state
         out = self._program(
             self.model.params,
@@ -263,28 +272,37 @@ class BatchTracker:
             s.T_WC,
             s.kf_T,
         )
-        stats = np.asarray(out["stats"])  # [B, 5] — one sync for the batch
-        match_frac = stats[:, 0]
-        new_kf = np.minimum(stats[:, 1], stats[:, 2]) < self.cfg.match_frac_thresh
-        tracked = match_frac >= self.cfg.min_match_frac
-
-        keep = jnp.asarray(tracked)
         self.state = dataclasses.replace(
             s,
             fr_X=out["fr_X"],
             fr_C=out["fr_C"],
-            fr_N=jnp.asarray(stats[:, 3]),
-            kf_X=jnp.where(keep[:, None, None], out["kf_X"], s.kf_X),
-            kf_C=jnp.where(keep[:, None, None], out["kf_C"], s.kf_C),
-            kf_N=jnp.where(keep, jnp.asarray(stats[:, 4]), s.kf_N),
-            T_WC=jnp.where(keep[:, None], out["T_WC"], s.T_WC),
+            fr_N=out["fr_N"],
+            kf_X=out["kf_X"],
+            kf_C=out["kf_C"],
+            kf_N=out["kf_N"],
+            T_WC=out["T_WC"],
         )
+        return out["stats"]
+
+    def resolve_stats(self, stats_dev: jax.Array) -> dict:
+        """Fetch + interpret one `step_async` stats handle (ONE host sync):
+        poses refer to the CURRENT state (exact if resolved before further
+        steps; after later steps the flags still refer to their own frame)."""
+        stats = np.asarray(stats_dev)  # [B, 5]
+        match_frac = stats[:, 0]
+        new_kf = np.minimum(stats[:, 1], stats[:, 2]) < self.cfg.match_frac_thresh
+        tracked = match_frac >= self.cfg.min_match_frac
         return dict(
             poses=self.state.T_WC,
             match_frac=match_frac,
             new_kf=new_kf,
             tracked=tracked,
         )
+
+    def step(self, feats: jax.Array, poss: jax.Array) -> dict:
+        """Synchronous convenience wrapper: `step_async` + `resolve_stats`
+        (one host sync per batch)."""
+        return self.resolve_stats(self.step_async(feats, poss))
 
     def update_keyframes(self, seq_ids, feats, poss, Xs, Cs) -> None:
         """Promote the given sequences' current frames to keyframes.

@@ -1,0 +1,157 @@
+"""Profile the fused tracking step on the real TPU and print the op-level
+device-time composition (PLAN round-3 roadmap item 2: decode is ~75% of the
+step — find where inside the decoder/DPT it goes before touching anything).
+
+Parses the xplane proto emitted by jax.profiler directly (no TensorBoard UI
+on this host); aggregates XLA op device time by event name. Set-up mirrors
+bench.py's device-chained leg exactly (same `_make_fused_track` program,
+same threading), so ms/step here decomposes the bench headline.
+
+Usage: python scripts/profile_fused_step.py [--steps 5] [--out /tmp/prof]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_hlo_stats(logdir: str):
+    """Aggregate the trace's per-HLO-op stats via xprof's hlo_stats tool.
+
+    Returns (rows, total_us) where rows = [(fw_op_name, category, self_us,
+    occurrences, bound_by)] sorted by self time."""
+    import json
+
+    from xprof.convert import raw_to_tool_data as rtd
+
+    paths = sorted(
+        glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True),
+        key=os.path.getmtime,
+    )
+    if not paths:
+        raise FileNotFoundError(f"no xplane.pb under {logdir}")
+    data, _ = rtd.xspace_to_tool_data([paths[-1]], "hlo_stats", {})
+    d = json.loads(data.decode() if isinstance(data, bytes) else data)
+    i = {c.get("label"): j for j, c in enumerate(d["cols"])}
+
+    agg: dict[tuple, list] = collections.defaultdict(lambda: [0.0, 0])
+    total = 0.0
+    for r in d["rows"]:
+        c = r["c"]
+        v = lambda k: c[i[k]]["v"]
+        t = float(v("Total self time (us)") or 0)
+        total += t
+        key = (
+            v("Framework op name") or "?",
+            v("HLO op category"),
+            v("Bound by"),
+        )
+        agg[key][0] += t
+        agg[key][1] += int(v("#Occurrences") or 0)
+    rows = sorted(
+        ((k[0], k[1], s[0], s[1], k[2]) for k, s in agg.items()),
+        key=lambda t: -t[2],
+    )
+    return rows, total
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--out", default="/tmp/prof_fused")
+    ap.add_argument("--top", type=int, default=45)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mast3r_slam_tpu.frame import Keyframes, create_frame
+    from mast3r_slam_tpu.models.mast3r import MASt3RModel
+    from mast3r_slam_tpu.tracker import FrameTracker, _make_fused_track
+    from mast3r_slam_tpu.inference import (
+        _ensure_encoded,
+        mast3r_inference_mono,
+    )
+
+    t0 = time.time()
+    model = MASt3RModel.create(resolution=512)
+    h, w = model._out_hw
+    print(f"model ready {h}x{w} ({time.time()-t0:.1f}s)", file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+    kfs = Keyframes(h, w)
+    kf = create_frame(0, jnp.asarray(base))
+    X, C, feat, pos = mast3r_inference_mono(model, kf)
+    kf.X_canon, kf.C, kf.feat, kf.pos = X, C, feat, pos
+    kf.N = kf.N_updates = 1
+    kfs.append(kf)
+    frame = create_frame(
+        1,
+        jnp.asarray(
+            np.clip(base + rng.normal(0, 0.005, base.shape).astype(np.float32), 0, 1)
+        ),
+    )
+    tracker = FrameTracker(model, kfs)
+    _ensure_encoded(model, frame)
+    fused = _make_fused_track(model, tracker.cfg, tracker.cfg.filtering_mode)
+
+    @jax.jit
+    def step_once(params, featf, posf, featk, posk, kX, kC, Tk, fX, fC, fN, T):
+        out = fused(
+            params, featf, posf, featk, posk, None,
+            fX, fC, fN, kX, kC, jnp.asarray(1.0), T, Tk,
+        )
+        return out["frame_X"], out["frame_C"], out["stats"][3], out["T_WCf"]
+
+    consts = (
+        model.params, frame.feat, frame.pos, kf.feat, kf.pos,
+        kf.X_canon, kf.C, kf.T_WC,
+    )
+    n0 = h * w
+    st = (
+        jnp.zeros((n0, 3)), jnp.zeros((n0, 1)),
+        jnp.zeros((), jnp.float32), kf.T_WC,
+    )
+    st = step_once(*consts, *st)
+    st = step_once(*consts, *st)  # absorb weak-type retrace
+    float(st[2])
+    print("warmed up", file=sys.stderr)
+
+    jax.profiler.start_trace(args.out)
+    for _ in range(args.steps):
+        st = step_once(*consts, *st)
+    float(st[2])  # force chain completion (relay block_until_ready lies)
+    jax.profiler.stop_trace()
+
+    rows, total_us = parse_hlo_stats(args.out)
+    print(
+        f"total device self time: {total_us/1e3:.2f} ms over {args.steps} "
+        f"steps ({total_us/1e3/args.steps:.2f} ms/step)"
+    )
+    cat = collections.defaultdict(float)
+    for _, category, us, _, _ in rows:
+        cat[category] += us
+    print("-- by HLO category (ms/step) --")
+    for k, us in sorted(cat.items(), key=lambda x: -x[1])[:10]:
+        print(f"{us/1e3/args.steps:9.3f}  {us/total_us*100:5.1f}%  {k}")
+    print(f"\n{'ms/step':>9}  {'%':>5}  {'n':>4}  bound-by      op")
+    for name, _, us, cnt, bound in rows[: args.top]:
+        ms = us / 1e3 / args.steps
+        print(
+            f"{ms:9.3f}  {us/total_us*100:5.1f}  {cnt:4d}  {bound or '?':<12}"
+            f"  {name[:100]}"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -291,3 +291,45 @@ class TestMicrobatchScan:
         set_config(Config.from_dict({}))
         with pytest.raises(ValueError, match="microbatch"):
             BatchTracker(tiny_model, mesh=make_mesh(8, tp=1), microbatch=3)
+
+
+class TestAsyncServing:
+    def test_async_chain_matches_sync_steps(self, setup, rng):
+        """step_async dispatches batches back-to-back with zero host syncs
+        (the tracked gate runs on device); resolving the stats handles at
+        the END must reproduce the synchronous step-by-step results."""
+        model, imgs, feats, poss, Xs, Cs = setup
+        h, w = model._out_hw
+        B = feats.shape[0]
+
+        frames = [
+            jnp.stack([
+                jnp.asarray(rng.uniform(-1, 1, (h, w, 3)).astype(np.float32))
+                for _ in range(B)
+            ])
+            for _ in range(3)
+        ]
+        enc = [model.encode(f) for f in frames]
+
+        sync = BatchTracker(model)
+        sync.init_from_keyframes(feats, poss, Xs, Cs)
+        sync_out = [sync.step(f, p) for f, p in enc]
+
+        asy = BatchTracker(model)
+        asy.init_from_keyframes(feats, poss, Xs, Cs)
+        handles = [asy.step_async(f, p) for f, p in enc]  # no host syncs
+        final = asy.resolve_stats(handles[-1])
+
+        np.testing.assert_allclose(
+            np.asarray(final["poses"]), np.asarray(sync_out[-1]["poses"]),
+            atol=1e-5,
+        )
+        for hnd, ref in zip(handles, sync_out):
+            got = np.asarray(hnd)  # [B, 5]
+            np.testing.assert_allclose(got[:, 0], ref["match_frac"], atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(asy.state.kf_X), np.asarray(sync.state.kf_X), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(asy.state.fr_N), np.asarray(sync.state.fr_N), atol=1e-6
+        )

@@ -32,7 +32,9 @@ def match(
     D11: jax.Array,
     D21: jax.Array,
     idx_1_to_2_init: jax.Array | None = None,
-) -> tuple[jax.Array, jax.Array]:
+    payload: jax.Array | None = None,
+    want_hit: bool = False,
+):
     """Match pointmaps of two views.
 
     Args:
@@ -40,16 +42,23 @@ def match(
         X21: view-2 points in view-1 frame [B, H, W, 3]
         D11 / D21: descriptors [B, H, W, D]
         idx_1_to_2_init: warm-start correspondence indices [B, H*W]
+        payload: optional [B, H, W, P] per-view-1-pixel values; when given,
+            the result also carries `payload_g` = payload rows selected at
+            the match (== `payload.reshape(B,N,P)[idx]`). The dense matcher
+            folds the selection into its tap streams (bf16, no row gather);
+            other methods fall back to one packed row gather here.
+        want_hit: also return `hit` [B, H*W] bool = "view-1 pixel claimed by
+            ≥1 valid match" (the uniqueness statistic). Dense matching
+            computes it as shifted ORs; other methods scatter.
 
     Returns:
-        idx_1_to_2 [B, H*W] int32, valid [B, H*W, 1] bool
+        (idx_1_to_2 [B, H*W] int32, valid [B, H*W, 1] bool), with
+        payload_g [B, H*W, P] and/or hit [B, H*W] appended when requested.
     """
     cfg = get_config().matching
     method = cfg.method
     if method == "auto":
         method = "simple" if cfg.use_simple else "iterative"
-    if method == "simple":
-        return match_simple(X11, X21, idx_1_to_2_init, cfg.dist_thresh)
     if method == "dense":
         from mast3r_slam_tpu.ops.dense_match import match_dense_window
 
@@ -62,21 +71,40 @@ def match(
             dilations=tuple(cfg.dense_dilations),
             desc_weight=cfg.dense_desc_weight,
             dist_thresh=cfg.dist_thresh,
+            payload=payload,
+            want_hit=want_hit,
         )
-    return match_iterative_proj(
-        X11,
-        X21,
-        D11,
-        D21,
-        idx_1_to_2_init,
-        max_iter=cfg.max_iter,
-        lambda_init=cfg.lambda_init,
-        convergence_thresh=cfg.convergence_thresh,
-        dist_thresh=cfg.dist_thresh,
-        use_refine=cfg.use_refine,
-        refine_radius=cfg.refine_radius,
-        refine_dilation=cfg.refine_dilation,
-    )
+    if method == "simple":
+        idx, valid = match_simple(X11, X21, idx_1_to_2_init, cfg.dist_thresh)
+    else:
+        idx, valid = match_iterative_proj(
+            X11,
+            X21,
+            D11,
+            D21,
+            idx_1_to_2_init,
+            max_iter=cfg.max_iter,
+            lambda_init=cfg.lambda_init,
+            convergence_thresh=cfg.convergence_thresh,
+            dist_thresh=cfg.dist_thresh,
+            use_refine=cfg.use_refine,
+            refine_radius=cfg.refine_radius,
+            refine_dilation=cfg.refine_dilation,
+        )
+    out = [idx, valid]
+    if payload is not None:
+        b = payload.shape[0]
+        pay_flat = payload.reshape(b, -1, payload.shape[-1])
+        out.append(jnp.take_along_axis(pay_flat, idx[..., None], axis=1))
+    if want_hit:
+        b, n = idx.shape
+        hit = (
+            jnp.zeros((b, n), jnp.float32)
+            .at[jnp.arange(b)[:, None], idx]
+            .max(valid[..., 0].astype(jnp.float32))
+        )
+        out.append(hit > 0.5)
+    return tuple(out)
 
 
 @partial(jax.jit, static_argnames=())

@@ -219,14 +219,21 @@ class LocalFeaturesHead(nn.Module):
         idim = x.shape[-1]
         h = nn.Dense(int(self.hidden_factor * idim), dtype=self.dtype, name="fc1")(x)
         h = nn.gelu(h, approximate=False)
+        # fc2 + pixel shuffle run in the model compute dtype: fc2 is the
+        # single largest dot_general in the fused tracking step and the
+        # shuffle's transpose is pure HBM traffic, so bf16 here halves both
+        # (profiled ~1.6 ms/frame on v5e). Normalization and the conf
+        # nonlinearity still reduce in f32 — a unit-norm over 24 bf16
+        # channels keeps ~3 significant digits either way, and the cast
+        # fuses into the reduction (no extra materialization).
         h = nn.Dense(
-            (self.local_feat_dim + 1) * p * p, dtype=jnp.float32, name="fc2"
+            (self.local_feat_dim + 1) * p * p, dtype=self.dtype, name="fc2"
         )(h)
         grid = tokens_to_grid(h, hp, wp)
         pix = pixel_shuffle(grid, p)  # [B, H, W, feat+1]
-        raw_desc = pix[..., : self.local_feat_dim]
+        raw_desc = pix[..., : self.local_feat_dim].astype(jnp.float32)
         desc = raw_desc / jnp.maximum(
             jnp.linalg.norm(raw_desc, axis=-1, keepdims=True), 1e-8
         )
-        desc_conf = postprocess_desc_conf(pix[..., self.local_feat_dim])
+        desc_conf = postprocess_desc_conf(pix[..., self.local_feat_dim].astype(jnp.float32))
         return desc, desc_conf

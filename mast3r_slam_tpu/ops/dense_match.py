@@ -57,7 +57,8 @@ def window_taps(radius: int, dilations: tuple[int, ...]) -> list[tuple[int, int]
 
 
 @partial(
-    jax.jit, static_argnames=("radius", "dilations", "desc_weight", "dist_thresh")
+    jax.jit,
+    static_argnames=("radius", "dilations", "desc_weight", "dist_thresh", "want_hit"),
 )
 def match_dense_window(
     X11: jax.Array,
@@ -68,7 +69,9 @@ def match_dense_window(
     dilations: tuple[int, ...] = (1,),
     desc_weight: float = 1.0,
     dist_thresh: float = 0.1,
-) -> tuple[jax.Array, jax.Array]:
+    payload: jax.Array | None = None,
+    want_hit: bool = False,
+):
     """Gather-free dense matching over a multi-dilation offset window.
 
     Args:
@@ -78,9 +81,23 @@ def match_dense_window(
         dilations: tap spacings (union of all levels searched at once)
         desc_weight: descriptor-similarity weight against ray distance
         dist_thresh: 3D occlusion gate (reference semantics)
+        payload: optional [B, H, W, P] per-view-1-pixel values to select at
+            the winning tap — the windowed equivalent of
+            `payload.reshape(B,N,P)[idx]`, folded into the tap streams so
+            the downstream consumer skips its [N, P] row gather (profiled
+            1.95 ms/frame at 196k pts on v5e vs ~0.7 ms folded here).
+            Streams in bf16, matching the matcher's other streams.
+        want_hit: also return `hit` [B, H*W] bool — whether each view-1
+            pixel is claimed by at least one valid match. Computed as an
+            inverse-shift OR over the tap lattice (winning taps are always
+            in-bounds, so this equals the scatter-max
+            `zeros.at[idx].max(valid)` exactly) — replaces a 1.3 ms/frame
+            [N]-row scatter with ~0.3 ms of dense shifted passes.
 
     Returns:
-        idx_1_to_2 [B, H*W] int32, valid [B, H*W, 1] bool
+        (idx_1_to_2 [B, H*W] int32, valid [B, H*W, 1] bool) plus, when
+        requested, payload_g [B, H*W, P] and/or hit [B, H*W] appended in
+        that order.
     """
     b, h, w, _ = X11.shape
     # bf16 streams: the tap loop is HBM-bandwidth-bound and ray/descriptor
@@ -96,8 +113,11 @@ def match_dense_window(
     best_cost = jnp.full((b, h, w), BIG, jnp.float32)
     best_du = jnp.zeros((b, h, w), jnp.int32)
     best_dv = jnp.zeros((b, h, w), jnp.int32)
+    pay_h = None if payload is None else payload.astype(jnp.bfloat16)
+    best_pay = None if pay_h is None else jnp.zeros_like(pay_h)
 
-    for du, dv in window_taps(radius, dilations):
+    taps = window_taps(radius, dilations)
+    for du, dv in taps:
         r1 = _shifted(rays1, du, dv, BIG)
         diff = (r1 - rays2).astype(jnp.float32)
         cost = jnp.sum(diff * diff, axis=-1)
@@ -110,6 +130,10 @@ def match_dense_window(
         best_cost = jnp.where(take, cost, best_cost)
         best_du = jnp.where(take, du, best_du)
         best_dv = jnp.where(take, dv, best_dv)
+        if pay_h is not None:
+            best_pay = jnp.where(
+                take[..., None], _shifted(pay_h, du, dv, 0.0), best_pay
+            )
 
     xx = jnp.arange(w, dtype=jnp.int32)[None, None, :]
     yy = jnp.arange(h, dtype=jnp.int32)[None, :, None]
@@ -122,4 +146,19 @@ def match_dense_window(
     Xm = jnp.take_along_axis(X11_flat, idx[..., None], axis=1)
     dist = jnp.linalg.norm(Xm - X21.reshape(b, h * w, 3), axis=-1)
     valid = (dist < dist_thresh) & (best_cost.reshape(b, h * w) < BIG)
-    return idx, valid[..., None]
+
+    out = [idx, valid[..., None]]
+    if best_pay is not None:
+        out.append(best_pay.reshape(b, h * w, -1))
+    if want_hit:
+        # The winning tap is always in-bounds (out-of-bounds sentinels never
+        # win — the (0,0) tap is always finite), so the clipped u/v above
+        # are exact and the scatter `zeros.at[idx].max(valid)` factors as
+        # an OR of inverse-shifted per-tap win masks.
+        valid2d = valid.reshape(b, h, w)
+        hit = jnp.zeros((b, h, w), jnp.bool_)
+        for du, dv in taps:
+            m = (best_du == du) & (best_dv == dv) & valid2d
+            hit = hit | _shifted(m[..., None], -du, -dv, False)[..., 0]
+        out.append(hit.reshape(b, h * w))
+    return tuple(out)

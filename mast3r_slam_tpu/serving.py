@@ -89,9 +89,6 @@ def _make_batch_program(model, cfg, filtering_mode: str, mesh=None,
         )
         h, w = out_f["pts3d"].shape[1:3]
         n = h * w
-        idx, valid = match(
-            out_f["pts3d"], out_k["pts3d"], out_f["desc"], out_k["desc"], None
-        )
         Xff = out_f["pts3d"].reshape(n, 3)
         Cff = out_f["conf"].reshape(n, 1)
         Qff = out_f["desc_conf"].reshape(n, 1)
@@ -99,19 +96,36 @@ def _make_batch_program(model, cfg, filtering_mode: str, mesh=None,
         Ckf = out_k["conf"].reshape(n, 1)
         Qkf = out_k["desc_conf"].reshape(n, 1)
         fX2, fC2, fN2 = fuse_pointmap_masked(fX, fC, fN, Xff, Cff, filtering_mode)
+        fC2_avg = fC2 / jnp.maximum(fN2, 1.0)
+        # Payload + uniqueness ride the matcher's window streams (see
+        # tracker._make_fused_track) — no row gather / scatter in the core.
+        pay_img = jnp.concatenate(
+            [
+                Qff.reshape(1, h, w, 1),
+                fC2_avg.reshape(1, h, w, 1),
+                fX2.reshape(1, h, w, 3),
+            ],
+            axis=-1,
+        )
+        idx, valid, pay_g, hit = match(
+            out_f["pts3d"], out_k["pts3d"], out_f["desc"], out_k["desc"], None,
+            payload=pay_img, want_hit=True,
+        )
         core = _track_core_rays(
             idx[0],
             valid[0],
             Qff,
             Qkf,
             fX2,
-            fC2 / jnp.maximum(fN2, 1.0),
+            fC2_avg,
             kX,
             kC / jnp.maximum(kN, 1.0),
             Xkf,
             T,
             Tk,
             cfg_key,
+            pay_g=pay_g[0],
+            unique_hit=hit[0],
         )
         kX2, kC2, kN2 = fuse_pointmap_masked(kX, kC, kN, core["Xkk"], Ckf, filtering_mode)
         stats = jnp.concatenate([core["stats"], fN2[None], kN2[None]])

@@ -51,9 +51,17 @@ def _track_core_rays(
     T_WCf: jax.Array,  # [8]
     T_WCk: jax.Array,  # [8]
     cfg_key: tuple,  # static knobs (see caller)
+    pay_g: jax.Array | None = None,  # [N, 5] pre-selected (Q, C, X) payload
+    unique_hit: jax.Array | None = None,  # [N] bool pre-computed hit mask
 ):
     """Fused tracking step, ray-distance objective. Returns a dict of device
-    results; the caller syncs one scalar bundle."""
+    results; the caller syncs one scalar bundle.
+
+    `pay_g` / `unique_hit` let the matcher supply the per-point payload and
+    the uniqueness mask window-locally (matching.match(payload=, want_hit=));
+    when absent this falls back to the packed row gather and the scatter-max
+    — required for callers whose indices are not window-structured (e.g. the
+    backend's edge gathers)."""
     (
         C_conf,
         Q_conf,
@@ -76,9 +84,11 @@ def _track_core_rays(
     # (profiled: the single largest op in the fused step, ahead of every
     # decoder fusion) — TPU gathers pay per ROW, so one 5-lane row costs
     # the same as a 1-lane row and the pack is ~3x cheaper.
-    payload = jnp.concatenate([Qff, Cf_avg, Xf_canon], axis=-1)  # [N, 5]
-    pay_g = jnp.take_along_axis(payload, idx_f2k[:, None], axis=0)
-    Qk = jnp.sqrt(pay_g[:, 0:1] * Qkf)  # [N, 1]
+    if pay_g is None:
+        payload = jnp.concatenate([Qff, Cf_avg, Xf_canon], axis=-1)  # [N, 5]
+        pay_g = jnp.take_along_axis(payload, idx_f2k[:, None], axis=0)
+    pay_g = pay_g.astype(jnp.float32)
+    Qk = jnp.sqrt(jnp.maximum(pay_g[:, 0:1], 0.0) * Qkf)  # [N, 1]
 
     Cf_g = pay_g[:, 1:2]
     valid_opt = (
@@ -113,10 +123,14 @@ def _track_core_rays(
 
     # Keyframe selection statistics.
     match_frac_k = jnp.mean(valid_kf.astype(jnp.float32))
-    hit = jnp.zeros((n,), jnp.float32).at[idx_f2k].max(
-        valid_match_k[:, 0].astype(jnp.float32)
-    )
-    unique_frac_f = jnp.mean(hit)
+    if unique_hit is None:
+        unique_hit = (
+            jnp.zeros((n,), jnp.float32).at[idx_f2k].max(
+                valid_match_k[:, 0].astype(jnp.float32)
+            )
+            > 0.5
+        )
+    unique_frac_f = jnp.mean(unique_hit.astype(jnp.float32))
 
     return dict(
         Qk=Qk,
@@ -359,25 +373,33 @@ def _make_fused_track_chain(
         Ckf = Cs_k.reshape(1, n, 1)
         Qkf = Qs_k.reshape(1, n, 1)
 
-        idx, valid = match(Xs_f, Xs_k, Ds_f, Ds_k, idx_init)
-
-        core_args = (
-            idx[0],
-            valid[0],
-            Qff[0],
-            Qkf[0],
-            Xff[0],  # fresh frame: canonical state IS the model output
-            Cff[0],
-            kX,
-            kC / jnp.maximum(kN, 1.0),
-            Xkf[0],
-            T_WCf,
-            T_WCk,
-        )
+        # The (Q, C, X) payload the tracking core needs at the matched
+        # view-1 pixels rides the matcher's window streams (no row gather),
+        # and the uniqueness mask comes back as shifted ORs (no scatter).
+        # The calibrated core constrains points to rays BEFORE selection,
+        # so it keeps the generic gather path.
         if use_calib:
-            core = _track_core_calib(*core_args, K, (h, w), cfg_key)
+            idx, valid = match(Xs_f, Xs_k, Ds_f, Ds_k, idx_init)
+            core = _track_core_calib(
+                idx[0], valid[0], Qff[0], Qkf[0],
+                Xff[0], Cff[0], kX, kC / jnp.maximum(kN, 1.0), Xkf[0],
+                T_WCf, T_WCk, K, (h, w), cfg_key,
+            )
         else:
-            core = _track_core_rays(*core_args, cfg_key)
+            pay_img = jnp.concatenate(
+                [Qs_f[..., None], Cs_f[..., None], Xs_f], axis=-1
+            )
+            idx, valid, pay_g, hit = match(
+                Xs_f, Xs_k, Ds_f, Ds_k, idx_init,
+                payload=pay_img, want_hit=True,
+            )
+            core = _track_core_rays(
+                idx[0], valid[0], Qff[0], Qkf[0],
+                Xff[0],  # fresh frame: canonical state IS the model output
+                Cff[0], kX, kC / jnp.maximum(kN, 1.0), Xkf[0],
+                T_WCf, T_WCk, cfg_key,
+                pay_g=pay_g[0], unique_hit=hit[0],
+            )
         from mast3r_slam_tpu.frame import fuse_pointmap_masked
 
         kX2, kC2, kN2 = fuse_pointmap_masked(
@@ -461,9 +483,12 @@ def _make_fused_track_chain_scan(
     cadence) down to once per window, on top of the one batched image
     transfer and one stats fetch. Per-frame outputs come back stacked
     [K, ...]; the final chain state is returned under "final"."""
+    # `__wrapped__` strips the per-frame program's jax.jit so the window
+    # body is traced inline (a nested jit keeps a `closed_call` label in
+    # profiles; inlining keeps op attribution flat).
     step_fn = _make_fused_track_chain(
         model, cfg, filtering_mode, img_downsample, use_calib
-    )
+    ).__wrapped__
     _PER_FRAME = (
         "stats", "T_WCf", "frame_X", "frame_C", "feat", "pos",
         "ret_X", "ret_C", "kf_X", "kf_C", "kf_T",
@@ -496,8 +521,22 @@ def _make_fused_track_chain_scan(
             )
             return st2, {k: out[k] for k in _PER_FRAME}
 
-        state2, outs = jax.lax.scan(step, state, imgs)
-        outs["final"] = dict(zip(_STATE, state2))
+        # FULLY UNROLLED window (K is small and static — runtime.sync_every,
+        # default 8). A `lax.scan` here costs ~2x on device: the while body
+        # is compiled as an isolated region whose loop-carried [N,*] buffers
+        # pick up aliasing/double-buffering constraints that block the
+        # packed-gather fusions of the correspondence core (profiled on
+        # v5e: the same `_track_core_rays` gather is 1.95 ms/frame inside
+        # the scan body vs 0.49 ms flat; scatter-max 1.31 vs <0.12), plus
+        # per-iteration device idle. Unrolling hands XLA the flat dataflow
+        # of K chained steps — identical fusion freedom to the standalone
+        # per-frame program — at the price of a longer (cached) compile.
+        ys = []
+        for k in range(imgs.shape[0]):
+            state, y = step(state, imgs[k])
+            ys.append(y)
+        outs = {kk: jnp.stack([y[kk] for y in ys]) for kk in _PER_FRAME}
+        outs["final"] = dict(zip(_STATE, state))
         return outs
 
     return jax.jit(program)
@@ -580,30 +619,42 @@ def _make_fused_track(model, cfg, filtering_mode: str, use_calib: bool = False):
         Ckf = out_k["conf"].reshape(1, n, 1)
         Qkf = out_k["desc_conf"].reshape(1, n, 1)
 
-        idx, valid = match(
-            out_f["pts3d"], out_k["pts3d"], out_f["desc"], out_k["desc"], idx_init
-        )
-
         fX2, fC2, fN2 = fuse_pointmap_masked(
             fX, fC, fN, Xff[0], Cff[0], filtering_mode
         )
-        core_args = (
-            idx[0],
-            valid[0],
-            Qff[0],
-            Qkf[0],
-            fX2,
-            fC2 / jnp.maximum(fN2, 1.0),
-            kX,
-            kC / jnp.maximum(kN, 1.0),
-            Xkf[0],
-            T_WCf,
-            T_WCk,
-        )
+        fC2_avg = fC2 / jnp.maximum(fN2, 1.0)
         if use_calib:
-            core = _track_core_calib(*core_args, K, (h, w), cfg_key)
+            idx, valid = match(
+                out_f["pts3d"], out_k["pts3d"], out_f["desc"], out_k["desc"],
+                idx_init,
+            )
+            core = _track_core_calib(
+                idx[0], valid[0], Qff[0], Qkf[0], fX2, fC2_avg,
+                kX, kC / jnp.maximum(kN, 1.0), Xkf[0],
+                T_WCf, T_WCk, K, (h, w), cfg_key,
+            )
         else:
-            core = _track_core_rays(*core_args, cfg_key)
+            # Payload selection + uniqueness ride the matcher's window
+            # streams (see _make_fused_track_chain); calib keeps the
+            # generic path (ray constraint precedes selection there).
+            pay_img = jnp.concatenate(
+                [
+                    Qff.reshape(1, h, w, 1),
+                    fC2_avg.reshape(1, h, w, 1),
+                    fX2.reshape(1, h, w, 3),
+                ],
+                axis=-1,
+            )
+            idx, valid, pay_g, hit = match(
+                out_f["pts3d"], out_k["pts3d"], out_f["desc"], out_k["desc"],
+                idx_init, payload=pay_img, want_hit=True,
+            )
+            core = _track_core_rays(
+                idx[0], valid[0], Qff[0], Qkf[0], fX2, fC2_avg,
+                kX, kC / jnp.maximum(kN, 1.0), Xkf[0],
+                T_WCf, T_WCk, cfg_key,
+                pay_g=pay_g[0], unique_hit=hit[0],
+            )
         kX2, kC2, kN2 = fuse_pointmap_masked(
             kX, kC, kN, core["Xkk"], Ckf[0], filtering_mode
         )

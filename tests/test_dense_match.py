@@ -79,3 +79,64 @@ class TestDenseMatch:
         )
         n = X.shape[0] * X.shape[1]
         assert idx.shape == (1, n)
+
+
+class TestWindowExtras:
+    """payload selection / hit mask computed window-locally must equal the
+    generic row-gather / scatter-max formulation exactly."""
+
+    def test_payload_equals_row_gather(self, rng):
+        X, D = _scene(rng)
+        h, w = X.shape[:2]
+        X2 = X + rng.normal(0, 0.01, X.shape).astype(np.float32)
+        pay = rng.uniform(0.1, 2.0, (1, h, w, 5)).astype(np.float32)
+        idx, valid, pay_g, hit = match_dense_window(
+            jnp.asarray(X[None]), jnp.asarray(X2[None]),
+            jnp.asarray(D[None]), jnp.asarray(D[None]),
+            payload=jnp.asarray(pay), want_hit=True,
+        )
+        idx_np = np.asarray(idx)[0]
+        # bf16 streams: compare against the bf16-rounded payload rows.
+        ref = np.asarray(
+            jnp.asarray(pay).astype(jnp.bfloat16).astype(np.float32)
+        ).reshape(h * w, 5)[idx_np]
+        np.testing.assert_allclose(
+            np.asarray(pay_g, np.float32)[0], ref, rtol=0, atol=0
+        )
+
+    def test_hit_equals_scatter_max(self, rng):
+        X, D = _scene(rng)
+        h, w = X.shape[:2]
+        X2 = X + rng.normal(0, 0.01, X.shape).astype(np.float32)
+        idx, valid, hit = match_dense_window(
+            jnp.asarray(X[None]), jnp.asarray(X2[None]),
+            jnp.asarray(D[None]), jnp.asarray(D[None]),
+            want_hit=True,
+        )
+        idx_np = np.asarray(idx)[0]
+        v = np.asarray(valid)[0, :, 0]
+        ref = np.zeros(h * w, bool)
+        np.maximum.at(ref, idx_np, v)
+        np.testing.assert_array_equal(np.asarray(hit)[0], ref)
+
+    def test_match_dispatcher_fallback_extras(self, rng):
+        """Non-dense methods compute the same extras via gather/scatter."""
+        X, D = _scene(rng)
+        h, w = X.shape[:2]
+        pay = rng.uniform(0.1, 2.0, (1, h, w, 3)).astype(np.float32)
+        set_config(Config.from_dict({"matching": {"method": "simple"}}))
+        try:
+            idx, valid, pay_g, hit = match(
+                jnp.asarray(X[None]), jnp.asarray(X[None]),
+                jnp.asarray(D[None]), jnp.asarray(D[None]),
+                payload=jnp.asarray(pay), want_hit=True,
+            )
+        finally:
+            set_config(Config())
+        idx_np = np.asarray(idx)[0]
+        ref = pay.reshape(h * w, 3)[idx_np]
+        np.testing.assert_allclose(np.asarray(pay_g)[0], ref)
+        v = np.asarray(valid)[0, :, 0]
+        refh = np.zeros(h * w, bool)
+        np.maximum.at(refh, idx_np, v)
+        np.testing.assert_array_equal(np.asarray(hit)[0], refh)

@@ -531,12 +531,12 @@ def _make_fused_track_chain_scan(
         # per-iteration device idle. Unrolling hands XLA the flat dataflow
         # of K chained steps — identical fusion freedom to the standalone
         # per-frame program — at the price of a longer (cached) compile.
-        ys = []
-        for k in range(imgs.shape[0]):
-            state, y = step(state, imgs[k])
-            ys.append(y)
-        outs = {kk: jnp.stack([y[kk] for y in ys]) for kk in _PER_FRAME}
-        outs["final"] = dict(zip(_STATE, state))
+        # `unroll=K` (not a Python loop): the body jaxpr is traced ONCE and
+        # duplicated at the jaxpr level — a Python loop re-traces the
+        # 686M-param body K times, which costs minutes of host time per
+        # process even when the XLA compile itself is cache-served.
+        state2, outs = jax.lax.scan(step, state, imgs, unroll=imgs.shape[0])
+        outs["final"] = dict(zip(_STATE, state2))
         return outs
 
     return jax.jit(program)

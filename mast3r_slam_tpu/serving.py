@@ -97,19 +97,16 @@ def _make_batch_program(model, cfg, filtering_mode: str, mesh=None,
         Qkf = out_k["desc_conf"].reshape(n, 1)
         fX2, fC2, fN2 = fuse_pointmap_masked(fX, fC, fN, Xff, Cff, filtering_mode)
         fC2_avg = fC2 / jnp.maximum(fN2, 1.0)
-        # Payload + uniqueness ride the matcher's window streams (see
-        # tracker._make_fused_track) — no row gather / scatter in the core.
-        pay_img = jnp.concatenate(
-            [
-                Qff.reshape(1, h, w, 1),
-                fC2_avg.reshape(1, h, w, 1),
-                fX2.reshape(1, h, w, 3),
-            ],
-            axis=-1,
-        )
-        idx, valid, pay_g, hit = match(
-            out_f["pts3d"], out_k["pts3d"], out_f["desc"], out_k["desc"], None,
-            payload=pay_img, want_hit=True,
+        # NOTE: serving deliberately does NOT use the matcher's
+        # window-stream extras (matching.match(payload=, want_hit=)): under
+        # the vmapped microbatch `lax.scan`, the extras' ~340 shifted tap
+        # passes land inside the scan's while-body region, whose
+        # loop-carried buffer constraints block their fusion — measured
+        # 8x slower serving batches (1366 vs 168 ms at B=8). The generic
+        # row gather + scatter in `_track_core_rays` stay out of the tap
+        # loop and fuse fine there.
+        idx, valid = match(
+            out_f["pts3d"], out_k["pts3d"], out_f["desc"], out_k["desc"], None
         )
         core = _track_core_rays(
             idx[0],
@@ -124,8 +121,6 @@ def _make_batch_program(model, cfg, filtering_mode: str, mesh=None,
             T,
             Tk,
             cfg_key,
-            pay_g=pay_g[0],
-            unique_hit=hit[0],
         )
         kX2, kC2, kN2 = fuse_pointmap_masked(kX, kC, kN, core["Xkk"], Ckf, filtering_mode)
         stats = jnp.concatenate([core["stats"], fN2[None], kN2[None]])

@@ -157,15 +157,20 @@ class SLAM:
         # fetch's round trip then overlaps the next window's device
         # compute instead of stalling the stream.
         raw: list[tuple] = []  # [(frame_idx, timestamp, img_u8)]
+        # Upload-ahead: the stacked uint8 put of window n+1 is submitted to
+        # a one-thread executor BEFORE window n is processed, so the host's
+        # relay serialization (~bytes/bandwidth of a 4.7 MB window) overlaps
+        # window n's dispatch + drain instead of preceding it. Processing
+        # stays strictly ordered (single queue, single worker); the only
+        # cost is one window of added latency between ingest and results.
+        from concurrent.futures import ThreadPoolExecutor
 
-        def process_batch() -> None:
-            if not raw:
-                return
-            entries, raw[:] = list(raw), []
+        upload_q: list[tuple] = []  # [(entries, Future[jax.Array])]
+
+        def process_batch(entries, batch_dev) -> None:
             if entries[0][0] == 0:
                 h, w = entries[0][2].shape[:2]
                 self._initialize_state(h, w)
-            batch_dev = jnp.asarray(np.stack([e[2] for e in entries]))
             use_pipeline = (
                 self.config.runtime.pipeline and self.tracker.can_pipeline
             )
@@ -215,11 +220,27 @@ class SLAM:
                 self._step_sync(frame, timestamp)
             flush_window()
 
-        for i, (timestamp, processed) in enumerate(loader(max_frames=n_frames)):
-            raw.append((i, timestamp, processed["unnormalized_img"]))
-            if len(raw) >= sync_every:
-                process_batch()
-        process_batch()
+        def enqueue_batch(uploader) -> None:
+            if not raw:
+                return
+            entries, raw[:] = list(raw), []
+            imgs = np.stack([e[2] for e in entries])
+            upload_q.append((entries, uploader.submit(jnp.asarray, imgs)))
+            while len(upload_q) > 1:  # keep ONE upload in flight ahead
+                e, f = upload_q.pop(0)
+                process_batch(e, f.result())
+
+        with ThreadPoolExecutor(max_workers=1) as uploader:
+            for i, (timestamp, processed) in enumerate(
+                loader(max_frames=n_frames)
+            ):
+                raw.append((i, timestamp, processed["unnormalized_img"]))
+                if len(raw) >= sync_every:
+                    enqueue_batch(uploader)
+            enqueue_batch(uploader)
+            while upload_q:
+                e, f = upload_q.pop(0)
+                process_batch(e, f.result())
         drain_inflight()
         self._run_backend(budget=0)  # drain any deferred backend tasks
         if self.viewer is not None:

@@ -3,15 +3,19 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "...", "vs_baseline": N}
 
-Metric: frontend tracking throughput — the full per-frame device program
-(ViT-L/16 two-view decode from cached features + iterative projective
-matching + descriptor refine + on-device Sim3 GN + pointmap fusion +
-keyframe statistics) at the 512x384 flagship resolution, bf16, chained
-back-to-back on device (the deployment-relevant number: on-host TPU serving
-has microsecond sync costs; this harness reaches the chip through a relay
-whose ~100 ms per-round-trip would otherwise measure the tunnel, not the
-machine). The fully-orchestrated FPS (one scalar sync per frame through the
-relay) is reported on stderr alongside.
+Metric: frontend tracking throughput — the FULL per-frame device program
+(per-frame ViT-L/16 encode + two-view decode + dense matching + on-device
+Sim3 GN + both pointmap fusions + the on-device keyframe decision) at the
+512x384 flagship resolution, bf16, dispatched as chained 8-frame window
+programs (the deployment program `slam.py` actually runs; on-host TPU
+serving has microsecond sync costs — this harness reaches the chip through
+a relay whose ~100 ms per-round-trip would otherwise measure the tunnel,
+not the machine). This is apples-to-apples with the baseline derivation
+below, which also includes the reference's per-frame encode. The
+decode-from-cached-features chained step (r01/r02's headline) and the
+fully-orchestrated FPS (one relay round trip per window) are reported on
+stderr alongside; if the window leg cannot run, the JSON falls back to the
+decode-from-cached metric.
 
 Baseline derivation (BASELINE.md): the reference publishes no end-to-end
 FPS, so the baseline is its implied per-frame tracking budget on Apple
@@ -258,6 +262,7 @@ def main() -> int:
     # program and final chain state (re-tracing the unrolled 686M-param
     # body costs minutes). 4 warm windows absorb dispatch-pipeline fill;
     # 8 timed windows close with one scalar fetch.
+    fps_full = None
     try:
         scan_fn = slam.tracker._fused_scan
         chain_st = slam.tracker._chain
@@ -300,6 +305,7 @@ def main() -> int:
                 st = fin(out)
             float(out["stats"][-1, 0])
             per = (time.perf_counter() - t0) / (8 * K)
+            fps_full = 1.0 / per
             print(
                 f"[bench] full-program device window chain (encode + decode "
                 f"+ match + GN + fusion + promotion, 1 dispatch/{K} frames): "
@@ -346,13 +352,17 @@ def main() -> int:
     except Exception as e:  # serving must never sink the headline metric
         print(f"[bench] serving leg skipped: {e}", file=sys.stderr)
 
+    if fps_full is not None:
+        headline = ("tracking_fps_512x384_vitl_bf16_full_program", fps_full)
+    else:
+        headline = ("tracking_fps_512x384_vitl_bf16_device", fps_device)
     print(
         json.dumps(
             {
-                "metric": "tracking_fps_512x384_vitl_bf16_device",
-                "value": round(fps_device, 3),
+                "metric": headline[0],
+                "value": round(headline[1], 3),
                 "unit": "frames/s",
-                "vs_baseline": round(fps_device / BASELINE_FPS, 3),
+                "vs_baseline": round(headline[1] / BASELINE_FPS, 3),
             }
         )
     )

@@ -276,7 +276,7 @@ EVENT_SKIP = 2
 
 def _make_fused_track_chain(
     model, cfg, filtering_mode: str, img_downsample: int = 1,
-    use_calib: bool = False,
+    use_calib: bool = False, _return_body: bool = False,
 ):
     """Zero-sync per-frame program: ENCODE + decode + dense matching + GN
     pose + keyframe fusion + ON-DEVICE keyframe/skip decision, in ONE jit.
@@ -327,9 +327,10 @@ def _make_fused_track_chain(
     out_hw = model._out_hw
     f = max(1, img_downsample)
 
-    def program(
+    def body(
         params,
-        img_f,  # [H, W, 3] in [0, 1]
+        feat_f,  # [1, S, D] pre-encoded frame tokens
+        pos_f,
         feat_k,
         pos_k,
         idx_init,  # [1, N] int32 or None
@@ -340,9 +341,6 @@ def _make_fused_track_chain(
         T_WCk,
         K=None,  # [4]/[3,3] intrinsics (calib mode only)
     ):
-        feat_f, pos_f = model.net.apply(
-            params, img_f[None] * 2.0 - 1.0, method=MASt3RNet.encode
-        )
         out_f, out_k = model.net.apply(
             params,
             feat_f,
@@ -469,6 +467,14 @@ def _make_fused_track_chain(
             pos=pos_f[0],
         )
 
+    def program(params, img_f, *rest):
+        feat_f, pos_f = model.net.apply(
+            params, img_f[None] * 2.0 - 1.0, method=MASt3RNet.encode
+        )
+        return body(params, feat_f, pos_f, *rest)
+
+    if _return_body:
+        return body
     return jax.jit(program)
 
 
@@ -483,12 +489,16 @@ def _make_fused_track_chain_scan(
     cadence) down to once per window, on top of the one batched image
     transfer and one stats fetch. Per-frame outputs come back stacked
     [K, ...]; the final chain state is returned under "final"."""
-    # `__wrapped__` strips the per-frame program's jax.jit so the window
-    # body is traced inline (a nested jit keeps a `closed_call` label in
-    # profiles; inlining keeps op attribution flat).
+    # `_return_body` yields the post-encode per-frame body, traced inline
+    # (a nested jit keeps a `closed_call` label in profiles; inlining keeps
+    # op attribution flat) — the window encodes all K frames in ONE
+    # batched ViT-L pass below instead of per-frame inside the chain.
+    from mast3r_slam_tpu.models.mast3r import MASt3RNet
+
     step_fn = _make_fused_track_chain(
-        model, cfg, filtering_mode, img_downsample, use_calib
-    ).__wrapped__
+        model, cfg, filtering_mode, img_downsample, use_calib,
+        _return_body=True,
+    )
     _PER_FRAME = (
         "stats", "T_WCf", "frame_X", "frame_C", "feat", "pos",
         "ret_X", "ret_C", "kf_X", "kf_C", "kf_T",
@@ -510,11 +520,24 @@ def _make_fused_track_chain_scan(
     ):
         if imgs.dtype == jnp.uint8:
             imgs = imgs.astype(jnp.float32) / 255.0
+        # ONE batched ViT-L encode for the whole window: each frame's
+        # encode is independent of the chain state (only decode consumes
+        # the keyframe side), so hoisting it out of the sequential chain
+        # turns K weight-streaming B=1 passes into one B=K pass — the
+        # encoder's 300M bf16 params ride HBM once per window and the
+        # [S, D] matmuls run at K x the M dimension (MXU utilization).
+        feat_all, pos_all = model.net.apply(
+            params, imgs * 2.0 - 1.0, method=MASt3RNet.encode
+        )
         state = (feat_k, pos_k, idx_init, kX, kC, kN, T_WCf, T_WCk)
 
-        def step(st, img):
+        def step(st, xs):
+            feat_f, pos_f = xs
             fk, pk, idx, X, C, N, Tp, Tk = st
-            out = step_fn(params, img, fk, pk, idx, X, C, N, Tp, Tk, K)
+            out = step_fn(
+                params, feat_f[None], pos_f[None],
+                fk, pk, idx, X, C, N, Tp, Tk, K,
+            )
             st2 = (
                 out["kf_feat"], out["kf_pos"], out["idx"], out["kf_X"],
                 out["kf_C"], out["kN"], out["T_WCf"], out["kf_T"],
@@ -535,7 +558,9 @@ def _make_fused_track_chain_scan(
         # duplicated at the jaxpr level — a Python loop re-traces the
         # 686M-param body K times, which costs minutes of host time per
         # process even when the XLA compile itself is cache-served.
-        state2, outs = jax.lax.scan(step, state, imgs, unroll=imgs.shape[0])
+        state2, outs = jax.lax.scan(
+            step, state, (feat_all, pos_all), unroll=imgs.shape[0]
+        )
         outs["final"] = dict(zip(_STATE, state2))
         return outs
 

@@ -35,7 +35,7 @@ import time
 BASELINE_FPS = 4.6
 
 
-def _device_watchdog(timeout_s: float = 180.0, retries: int = 4) -> None:
+def _device_watchdog(timeout_s: float = 180.0, retries: int = 15) -> None:
     """Fail fast (instead of hanging the driver) if the device tunnel is
     wedged: probe a trivial op from a side thread; on timeout, wait and
     re-probe (the relay's far side wedges transiently for minutes after an

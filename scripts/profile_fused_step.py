@@ -67,6 +67,12 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--out", default="/tmp/prof_fused")
     ap.add_argument("--top", type=int, default=45)
+    ap.add_argument(
+        "--window", type=int, default=0, metavar="K",
+        help="profile the K-frame window chain program (batched encode + "
+        "unrolled decode chain) instead of the per-frame cached-features "
+        "step; ms/step is then ms/frame",
+    )
     args = ap.parse_args()
 
     import jax
@@ -102,6 +108,77 @@ def main() -> int:
     )
     tracker = FrameTracker(model, kfs)
     _ensure_encoded(model, frame)
+
+    if args.window:
+        # Window chain program (what slam.py dispatches per sync_every
+        # frames): batched B=K ViT-L encode + K chained decode/match/GN
+        # steps + on-device promotion. One "step" below = one window.
+        from mast3r_slam_tpu.tracker import _make_fused_track_chain_scan
+
+        K = args.window
+        scan_fn = _make_fused_track_chain_scan(
+            model, tracker.cfg, tracker.cfg.filtering_mode
+        )
+        n0 = h * w
+        idx0 = jnp.broadcast_to(jnp.arange(n0, dtype=jnp.int32)[None], (1, n0))
+        rng2 = np.random.default_rng(1)
+        imgs = [
+            jnp.asarray(
+                (np.clip(base + rng2.normal(0, 0.005, base.shape), 0, 1) * 255
+                 ).astype(np.uint8)[None].repeat(K, 0)
+            )
+            for _ in range(4)
+        ]
+        jax.block_until_ready(imgs)
+
+        def win(img_b, st):
+            out = scan_fn(
+                model.params, img_b, st["feat"], st["pos"], idx0,
+                st["X"], st["C"], st["N"], st["T"], st["T"], None,
+            )
+            f = out["final"]
+            return dict(
+                feat=f["kf_feat"], pos=f["kf_pos"], X=f["kf_X"],
+                C=f["kf_C"], N=f["kN"], T=f["kf_T"],
+            ), out["stats"]
+
+        st = dict(
+            feat=kf.feat, pos=kf.pos, X=kf.X_canon, C=kf.C,
+            N=jnp.asarray(1.0), T=kf.T_WC,
+        )
+        t0 = time.time()
+        st, stats = win(imgs[0], st)
+        st, stats = win(imgs[1], st)
+        float(stats[-1, 0])
+        print(f"window program warm ({time.time()-t0:.1f}s)", file=sys.stderr)
+
+        jax.profiler.start_trace(args.out)
+        for i in range(2, 4):
+            st, stats = win(imgs[i], st)
+        float(stats[-1, 0])
+        jax.profiler.stop_trace()
+        args.steps = 2 * K  # report per frame
+
+        rows, total_us = parse_hlo_stats(args.out)
+        print(
+            f"total device self time: {total_us/1e3:.2f} ms over "
+            f"{args.steps} frames ({total_us/1e3/args.steps:.2f} ms/frame)"
+        )
+        cat = collections.defaultdict(float)
+        for _, category, us, _, _ in rows:
+            cat[category] += us
+        print("-- by HLO category (ms/frame) --")
+        for k, us in sorted(cat.items(), key=lambda x: -x[1])[:10]:
+            print(f"{us/1e3/args.steps:9.3f}  {us/total_us*100:5.1f}%  {k}")
+        print(f"\n{'ms/frame':>9}  {'%':>5}  {'n':>4}  bound-by      op")
+        for name, _, us, cnt, bound in rows[: args.top]:
+            ms = us / 1e3 / args.steps
+            print(
+                f"{ms:9.3f}  {us/total_us*100:5.1f}  {cnt:4d}  "
+                f"{bound or '?':<12}  {name[:100]}"
+            )
+        return 0
+
     fused = _make_fused_track(model, tracker.cfg, tracker.cfg.filtering_mode)
 
     @jax.jit

@@ -321,6 +321,62 @@ def bench_attention(rng, quick=False):
     }
 
 
+def bench_model_inference(rng, model_type, resolution, baseline_ms, quick=False):
+    """Two-view inference latency (encode both views + twin decode + heads).
+
+    Baseline rows (BASELINE.md, reference mast3r_utils.py:57-58 docstrings
+    on Apple Silicon/Metal): Mast3rFull 183 ms @512, DuneMast3r 11-32 ms
+    @336. Timing uses the dependent-chain + scalar-fetch protocol: each
+    call perturbs its input by the previous call's output scalar, so the
+    relay can neither overlap independent dispatches nor serve a result
+    cache, and the final scalar fetch forces completion (docs/PLAN.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mast3r_slam_tpu.models import MASt3RModel
+    from mast3r_slam_tpu.models.mast3r import MASt3RNet
+
+    variant = "base"
+    if quick:  # exercise the path, not a perf number (1-core CPU host)
+        resolution, variant = 112, "small"
+    model = MASt3RModel.create(
+        model_type=model_type, variant=variant, resolution=resolution,
+        precision="bf16",
+    )
+    h, w = model._out_hw
+    out_hw = model._out_hw
+    img1 = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32))
+    img2 = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32))
+
+    @jax.jit
+    def step(params, a, b, s):
+        a = a + s * 1e-9
+        f1, p1 = model.net.apply(params, a * 2.0 - 1.0, method=MASt3RNet.encode)
+        f2, p2 = model.net.apply(params, b * 2.0 - 1.0, method=MASt3RNet.encode)
+        o1, _o2 = model.net.apply(
+            params, f1, p1, f2, p2, out_hw, method=MASt3RNet.decode
+        )
+        return jnp.mean(o1["conf"])
+
+    s = step(model.params, img1, img2, jnp.zeros(()))
+    s = step(model.params, img1, img2, s)  # absorb weak-type retrace
+    float(s)
+    iters = 2 if quick else 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = step(model.params, img1, img2, s)
+    float(s)
+    t = (time.perf_counter() - t0) / iters
+    return {
+        "kernel": f"two_view_inference[{model_type}]",
+        "config": f"{h}x{w} bf16, {model.num_params()/1e6:.0f}M params",
+        "device_ms": t * 1e3,
+        "oracle_ms": baseline_ms,
+        "speedup": baseline_ms / (t * 1e3),
+        "note": "ref = M4 Metal docstring latency",
+    }
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small sizes (CI)")
@@ -328,6 +384,12 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     import jax
+
+    if args.quick:
+        # CI sizes are meant for the host CPU; the axon site package
+        # overrides JAX_PLATFORMS=cpu from the environment, so force it
+        # here BEFORE backend init (same trick as tests/conftest.py).
+        jax.config.update("jax_platforms", "cpu")
 
     rng = np.random.default_rng(42)
     results = [
@@ -338,7 +400,12 @@ def main(argv=None) -> int:
         bench_gn(rng, "points", args.quick),
         bench_gn(rng, "calib", args.quick),
         bench_attention(rng, args.quick),
+        bench_model_inference(rng, "dunemast3r", 336, 32.0, args.quick),
     ]
+    if not args.quick:  # ViT-L init is minutes on the 1-core CPU host
+        results.append(
+            bench_model_inference(rng, "mast3r_full", 512, 183.0, False)
+        )
 
     out_dir = Path(args.out)
     out_dir.mkdir(exist_ok=True)
@@ -370,6 +437,8 @@ def main(argv=None) -> int:
             if "oracle_agree" in r
             else f"ident {r['identity_recovery']:.3f}"
             if "identity_recovery" in r
+            else r["note"]
+            if "note" in r
             else f"maxdiff {r.get('max_diff', float('nan')):.2e}"
             if "max_diff" in r
             else f"err x{r.get('err_ratio', float('nan')):.2f} in 3 iters"

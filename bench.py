@@ -81,9 +81,23 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    # --smoke: run every leg at test scale on the host CPU — validates the
+    # bench's own code paths (program signatures, chain-state plumbing,
+    # stats shapes) without burning a hardware run on a typo. Numbers are
+    # meaningless; the JSON line is suppressed.
+    smoke = "--smoke" in sys.argv
+    if smoke:
+        jax.config.update("jax_platforms", "cpu")
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        # smoke runs on whatever host CPU is around: keep its AOT artifacts
+        # out of the TPU cache (cross-machine CPU reuse risks SIGILL)
+        "/tmp/jax_cache_smoke" if smoke else "/root/repo/.jax_cache",
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    _device_watchdog()
+    if not smoke:
+        _device_watchdog()
 
     from mast3r_slam_tpu.config import Config, set_config
     from mast3r_slam_tpu.frame import Keyframes, Mode, create_frame
@@ -117,10 +131,18 @@ def main() -> int:
         )
     )
 
-    resolution = 512
-    model = MASt3RModel.create(
-        model_type="mast3r_full", resolution=resolution, precision="bf16"
-    )
+    if smoke:
+        from mast3r_slam_tpu.models import MASt3RConfig
+
+        resolution = 64
+        model = MASt3RModel.create(
+            resolution=resolution, _test_cfg=MASt3RConfig.tiny()
+        )
+    else:
+        resolution = 512
+        model = MASt3RModel.create(
+            model_type="mast3r_full", resolution=resolution, precision="bf16"
+        )
     h, w = model._out_hw
     print(
         f"[bench] backend={backend} params={model.num_params()/1e6:.1f}M "
@@ -352,6 +374,10 @@ def main() -> int:
     except Exception as e:  # serving must never sink the headline metric
         print(f"[bench] serving leg skipped: {e}", file=sys.stderr)
 
+    if smoke:
+        print("[bench] smoke OK (all legs ran; numbers suppressed)",
+              file=sys.stderr)
+        return 0
     if fps_full is not None:
         headline = ("tracking_fps_512x384_vitl_bf16_full_program", fps_full)
     else:

@@ -48,7 +48,7 @@ class BatchState:
 
 
 def _make_batch_program(model, cfg, filtering_mode: str, mesh=None,
-                        microbatch: int = 0):
+                        microbatch: int = 0, image_input: bool = False):
     """Build the vmapped per-frame program; with a `jax.sharding.Mesh`,
     the sequence axis is sharded over the mesh's 'dp' axis (one GSPMD
     program: decode/matching/GN run fully data-parallel over ICI, model
@@ -162,8 +162,25 @@ def _make_batch_program(model, cfg, filtering_mode: str, mesh=None,
             lambda o: o.reshape((B,) + o.shape[2:]), outs
         )
 
+    run = batched
+    n_data_args = 12
+    if image_input:
+        # Image-input serving: ONE dispatch = batched ViT encode (full B —
+        # token-level transients are small; only decode/DPT need the
+        # microbatch working-set bound) + the tracking program above.
+        def run(params, imgs, *rest):
+            x = imgs
+            if x.dtype == jnp.uint8:
+                x = x.astype(jnp.float32) / 255.0
+            f, p = model.net.apply(
+                params, x * 2.0 - 1.0, method=MASt3RNet.encode
+            )
+            return batched(params, f, p, *rest)
+
+        n_data_args = 11
+
     if mesh is None:
-        return jax.jit(batched)
+        return jax.jit(run)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     rep = NamedSharding(mesh, P())
@@ -180,8 +197,8 @@ def _make_batch_program(model, cfg, filtering_mode: str, mesh=None,
     else:
         par = rep
     return jax.jit(
-        batched,
-        in_shardings=(par,) + (dp,) * 12,
+        run,
+        in_shardings=(par,) + (dp,) * n_data_args,
         out_shardings=dp,
     )
 
@@ -222,6 +239,7 @@ class BatchTracker:
         self._program = _make_batch_program(
             model, self.cfg, self.cfg.filtering_mode, mesh, microbatch
         )
+        self._program_img = None  # built on first step_images_async
         self.state: Optional[BatchState] = None
 
     def _shard_batch(self, x: jax.Array) -> jax.Array:
@@ -289,6 +307,30 @@ class BatchTracker:
             kf_X=out["kf_X"],
             kf_C=out["kf_C"],
             kf_N=out["kf_N"],
+            T_WC=out["T_WC"],
+        )
+        return out["stats"]
+
+    def step_images_async(self, imgs: jax.Array) -> jax.Array:
+        """`step_async` from raw images [B, H, W, 3] (uint8 or [0, 1]
+        float): the batched ViT encode runs INSIDE the same dispatch, so an
+        image-fed server costs one program launch per batch, same as the
+        feature-fed path — no separate encode round trip."""
+        if self._program_img is None:
+            self._program_img = _make_batch_program(
+                self.model, self.cfg, self.cfg.filtering_mode, self.mesh,
+                self.microbatch, image_input=True,
+            )
+        s = self.state
+        out = self._program_img(
+            self.model.params, imgs,
+            s.kf_feat, s.kf_pos, s.fr_X, s.fr_C, s.fr_N,
+            s.kf_X, s.kf_C, s.kf_N, s.T_WC, s.kf_T,
+        )
+        self.state = dataclasses.replace(
+            s,
+            fr_X=out["fr_X"], fr_C=out["fr_C"], fr_N=out["fr_N"],
+            kf_X=out["kf_X"], kf_C=out["kf_C"], kf_N=out["kf_N"],
             T_WC=out["T_WC"],
         )
         return out["stats"]

@@ -79,6 +79,32 @@ class TestBatchTracker:
             np.testing.assert_allclose(poses[b][:3], 0.0, atol=0.05)
             np.testing.assert_allclose(poses[b][3:7], [0, 0, 0, 1], atol=0.05)
 
+    def test_image_input_matches_feature_input(self, setup):
+        """step_images_async (in-dispatch batched encode from raw [0,1]
+        images) must match encode-then-step_async to float tolerance."""
+        model, imgs, feats, poss, Xs, Cs = setup
+        bt_f = BatchTracker(model)
+        bt_f.init_from_keyframes(feats, poss, Xs, Cs)
+        bt_i = BatchTracker(model)
+        bt_i.init_from_keyframes(feats, poss, Xs, Cs)
+
+        new = jnp.concatenate(imgs, axis=0)  # [B, h, w, 3] in [-1, 1]
+        f2, p2 = model.encode(new)
+        s_f = bt_f.step_async(f2, p2)
+        # the image program maps [0,1] -> [-1,1] itself
+        s_i = bt_i.step_images_async((new + 1.0) * 0.5)
+        np.testing.assert_allclose(
+            np.asarray(s_i), np.asarray(s_f), rtol=2e-4, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(bt_i.state.T_WC), np.asarray(bt_f.state.T_WC),
+            rtol=2e-4, atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(bt_i.state.kf_X), np.asarray(bt_f.state.kf_X),
+            rtol=2e-3, atol=2e-4,
+        )
+
     def test_keyframe_promotion(self, setup):
         model, imgs, feats, poss, Xs, Cs = setup
         bt = BatchTracker(model)

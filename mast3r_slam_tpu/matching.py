@@ -61,7 +61,33 @@ def match(
         method = "simple" if cfg.use_simple else "iterative"
     if method == "dense":
         from mast3r_slam_tpu.ops.dense_match import match_dense_window
+        from mast3r_slam_tpu.ops.dense_match_pallas import (
+            MAX_HALO,
+            match_dense_window_pallas,
+        )
 
+        halo = cfg.dense_radius * max(cfg.dense_dilations)
+        use_pallas = cfg.dense_kernel == "pallas" or (
+            cfg.dense_kernel == "auto"
+            and jax.default_backend() == "tpu"
+            and halo <= MAX_HALO
+        )
+        if use_pallas:
+            return match_dense_window_pallas(
+                X11,
+                X21,
+                D11,
+                D21,
+                radius=cfg.dense_radius,
+                dilations=tuple(cfg.dense_dilations),
+                desc_weight=cfg.dense_desc_weight,
+                dist_thresh=cfg.dist_thresh,
+                payload=payload,
+                want_hit=want_hit,
+                # One code path everywhere: interpreter mode off-TPU (tests
+                # force dense_kernel="pallas" on the CPU mesh).
+                interpret=jax.default_backend() != "tpu",
+            )
         return match_dense_window(
             X11,
             X21,

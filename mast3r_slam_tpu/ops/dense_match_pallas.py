@@ -1,0 +1,363 @@
+"""VMEM-tiled dense cost-volume matcher: the Pallas TPU kernel twin.
+
+Why this kernel exists: the XLA formulation (`ops/dense_match.py`) is
+HBM-bandwidth-bound, not compute-bound. Each of the 169 shifted-tap passes
+re-streams the full bf16 descriptor/ray images from HBM because XLA cannot
+keep a shifted operand resident across separately-fused tap passes:
+profiled 1.83 ms/frame of `reduce_sum` tap streams at 196k points on v5e
+(docs/PLAN.md round-3 addendum), ~169 x 9.4 MB ~= 1.6 GB ~= HBM peak.
+
+This kernel tiles the image into row bands, DMAs each band plus a
+`halo`-row/column slab into VMEM **once**, and runs every tap from VMEM:
+HBM traffic for the tap loop drops ~169x to a single pass. The tap loop is
+a rolled `fori_loop` with (du, dv) offsets read from an SMEM table, so the
+Mosaic program stays small regardless of the tap count.
+
+Semantics: exact twin of `match_dense_window` (same tap order, same
+strict-< argmin, same bf16 streams widened to f32 for the cost, same f32
+occlusion gate, same hit-as-inverse-shift-OR factorization). Parity is
+pinned by tests/test_dense_match_pallas.py in interpreter mode; residual
+differences are f32 summation-order only.
+
+Band/halo geometry (all static):
+  halo  = radius * max(dilations)        # max |du|, |dv|
+  ext   = halo if want_hit else 0        # winners computed for ext rows
+                                         # beyond the band so the inverse-
+                                         # shift hit OR stays band-local
+  RE    = band + 2*ext                   # winner rows per grid step
+  SR1   = band + 2*(ext + halo)          # view-1 slab rows (tap reach)
+View-1 inputs are pre-padded by (ext + halo) rows / halo cols so every DMA
+slice is in-bounds with static sizes; out-of-image taps are masked to the
+BIG sentinel in-kernel (matching the XLA twin's padding semantics).
+
+Reference contrast: the reference's matcher is a Metal kernel over
+per-point gathers (matching.py:339-461 + iter_proj.metal); this design
+replaces point-parallel gathers with band-parallel dense shifted reads,
+which is the access pattern the TPU VPU actually supports.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mast3r_slam_tpu.geometry import normalize_rays
+from mast3r_slam_tpu.ops.dense_match import window_taps
+
+BIG = 1e30
+# Unmatched / margin sentinel for best_du / best_dv: never equals a real
+# tap offset (|offset| <= halo <= MAX_HALO << 127).
+_SENTINEL = 127
+# Largest halo the kernel supports (VMEM slab growth is linear in halo;
+# 16 covers radius 6 at dilations (1,) and (2, 1)).
+MAX_HALO = 16
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(
+    du_ref,
+    dv_ref,
+    src1,
+    src2,
+    x1,
+    x2,
+    *refs,
+    H: int,
+    W: int,
+    band: int,
+    halo: int,
+    ext: int,
+    T: int,
+    D: int,
+    P: int,
+    want_hit: bool,
+    desc_weight: float,
+    dist_thresh: float,
+):
+    RE = band + 2 * ext
+    SR1 = band + 2 * (ext + halo)
+
+    # --- unpack outputs / scratch (order mirrors the wrapper) ---
+    n_out = 2 + (1 if P else 0) + (1 if want_hit else 0)
+    outs, scr = refs[:n_out], refs[n_out:]
+    idx_o, valid_o = outs[0], outs[1]
+    pay_o = outs[2] if P else None
+    hit_o = outs[-1] if want_hit else None
+    s1, s2, sx1, sx2, bc, bdu, bdv, xsel, vext = scr[:9]
+    psel = scr[9] if P else None
+    sems = scr[-1]
+
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    row0 = i * band
+
+    # --- one DMA per operand: band + halo slab, HBM -> VMEM ---
+    copies = [
+        pltpu.make_async_copy(src1.at[b, :, pl.ds(row0, SR1), :], s1, sems.at[0]),
+        pltpu.make_async_copy(src2.at[b, :, pl.ds(row0, RE), :], s2, sems.at[1]),
+        pltpu.make_async_copy(x1.at[b, :, pl.ds(row0, SR1), :], sx1, sems.at[2]),
+        pltpu.make_async_copy(x2.at[b, :, pl.ds(row0, RE), :], sx2, sems.at[3]),
+    ]
+    for c in copies:
+        c.start()
+
+    # Init accumulators while the DMAs fly. Margins (the halo columns) keep
+    # the sentinel so pass-3's shifted reads never see a fake winner.
+    bc[:] = jnp.full(bc.shape, BIG, jnp.float32)
+    bdu[:] = jnp.full(bdu.shape, _SENTINEL, jnp.int32)
+    bdv[:] = jnp.full(bdv.shape, _SENTINEL, jnp.int32)
+    vext[:] = jnp.zeros(vext.shape, jnp.int32)
+    xsel[:] = jnp.zeros(xsel.shape, jnp.float32)
+    if P:
+        psel[:] = jnp.zeros(psel.shape, jnp.bfloat16)
+
+    for c in copies:
+        c.wait()
+
+    # Image-row of extended row e: y_e = row0 - ext + e (rows outside
+    # [0, H) exist only as padding; they are masked here and sliced off by
+    # the wrapper).
+    e_iota = jax.lax.broadcasted_iota(jnp.int32, (RE, W), 0)
+    x_iota = jax.lax.broadcasted_iota(jnp.int32, (RE, W), 1)
+    y_img = row0 - ext + e_iota
+    q_in = (y_img >= 0) & (y_img < H)
+
+    cw = slice(halo, halo + W)  # interior columns of the Wp-wide scratches
+
+    # --- pass 1: argmin over taps, with fused payload/X11 selection ---
+    def tap_body(t, _):
+        du = du_ref[0, t]
+        dv = dv_ref[0, t]
+        rows = pl.ds(dv + halo, RE)
+        cols = pl.ds(du + halo, W)
+        r1 = s1[0:3, rows, cols]
+        diff = (r1 - s2[0:3]).astype(jnp.float32)
+        cost = jnp.sum(diff * diff, axis=0)
+        if desc_weight > 0:
+            sim = jnp.sum((s1[3 : 3 + D, rows, cols] * s2[3:]).astype(jnp.float32), axis=0)
+            cost = cost - desc_weight * sim
+        ok = (
+            q_in
+            & (y_img + dv >= 0)
+            & (y_img + dv < H)
+            & (x_iota + du >= 0)
+            & (x_iota + du < W)
+        )
+        cost = jnp.where(ok, cost, BIG)
+        cost = jnp.where(cost < BIG, cost, BIG)  # NaN/overflow cap (twin parity)
+        take = cost < bc[:, cw]
+        bc[:, cw] = jnp.where(take, cost, bc[:, cw])
+        bdu[:, cw] = jnp.where(take, du, bdu[:, cw])
+        bdv[:, cw] = jnp.where(take, dv, bdv[:, cw])
+        xsel[:, :, cw] = jnp.where(take[None], sx1[:, rows, cols], xsel[:, :, cw])
+        if P:
+            psel[:, :, cw] = jnp.where(
+                take[None], s1[3 + D :, rows, cols], psel[:, :, cw]
+            )
+        return 0
+
+    jax.lax.fori_loop(0, T, tap_body, 0)
+
+    # --- occlusion gate (f32, twin of the XLA take_along_axis gate) ---
+    xd = xsel[:, :, cw] - sx2[:]
+    dist2 = jnp.sum(xd * xd, axis=0)
+    valid_e = (bc[:, cw] < BIG) & (dist2 < dist_thresh * dist_thresh) & q_in
+    vext[:, cw] = valid_e.astype(jnp.int32)
+
+    # --- central-band outputs ---
+    cr = slice(ext, ext + band)
+    yc = row0 + jax.lax.broadcasted_iota(jnp.int32, (band, W), 0)
+    xc = jax.lax.broadcasted_iota(jnp.int32, (band, W), 1)
+    duc = bdu[cr, cw]
+    dvc = bdv[cr, cw]
+    matched = bc[cr, cw] < BIG
+    duc = jnp.where(matched, duc, 0)  # unmatched -> identity (twin parity)
+    dvc = jnp.where(matched, dvc, 0)
+    u = jnp.clip(xc + duc, 0, W - 1)
+    v = jnp.clip(yc + dvc, 0, H - 1)
+    idx_o[0] = v * W + u
+    valid_o[0] = vext[cr, cw]
+    if P:
+        pay_o[0] = psel[:, cr, cw]
+
+    # --- pass 3: hit = OR of inverse-shifted (win & valid) masks ---
+    if want_hit:
+
+        def hit_body(t, hit):
+            du = du_ref[0, t]
+            dv = dv_ref[0, t]
+            rows = pl.ds(ext + dv, band)
+            cols = pl.ds(halo + du, W)
+            m = (
+                (bdu[rows, cols] == du)
+                & (bdv[rows, cols] == dv)
+                & (vext[rows, cols] > 0)
+            )
+            return hit | m.astype(jnp.int32)
+
+        hit_o[0] = jax.lax.fori_loop(
+            0, T, hit_body, jnp.zeros((band, W), jnp.int32)
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "radius",
+        "dilations",
+        "desc_weight",
+        "dist_thresh",
+        "want_hit",
+        "band",
+        "interpret",
+    ),
+)
+def match_dense_window_pallas(
+    X11: jax.Array,
+    X21: jax.Array,
+    D11: jax.Array,
+    D21: jax.Array,
+    radius: int = 6,
+    dilations: tuple[int, ...] = (1,),
+    desc_weight: float = 1.0,
+    dist_thresh: float = 0.1,
+    payload: jax.Array | None = None,
+    want_hit: bool = False,
+    band: int = 64,
+    interpret: bool = False,
+):
+    """Drop-in twin of `match_dense_window` backed by the Pallas kernel.
+
+    Same signature/returns as the XLA version; `band` is the row-band tile
+    height (64 keeps the hit path's extended-row overhead at 19% while the
+    whole working set stays ~9 MB of VMEM), `interpret` runs the kernel in
+    interpreter mode for CPU tests.
+    """
+    b, h, w, _ = X11.shape
+    d = D11.shape[-1]
+    p = 0 if payload is None else payload.shape[-1]
+    taps = window_taps(radius, dilations)
+    t = len(taps)
+    halo = radius * max(dilations)
+    if halo > MAX_HALO:
+        raise ValueError(f"halo {halo} > {MAX_HALO}: use the XLA matcher")
+    ext = halo if want_hit else 0
+    bh = min(band, _round_up(h, 16))
+    nb = -(-h // bh)
+    hp = nb * bh
+    e1 = ext + halo
+    wp = w + 2 * halo
+
+    # Streams: identical prep to the XLA twin (bf16 rays/desc/payload).
+    rays1 = normalize_rays(X11).astype(jnp.bfloat16)
+    rays2 = normalize_rays(X21).astype(jnp.bfloat16)
+    parts1 = [rays1, D11.astype(jnp.bfloat16)]
+    if payload is not None:
+        parts1.append(payload.astype(jnp.bfloat16))
+    # [B, C, H, W] channel-leading so (rows, cols) land on (sublane, lane).
+    src1 = jnp.transpose(jnp.concatenate(parts1, axis=-1), (0, 3, 1, 2))
+    src1 = jnp.pad(src1, ((0, 0), (0, 0), (e1, hp - h + e1), (halo, halo)))
+    src2 = jnp.transpose(
+        jnp.concatenate([rays2, D21.astype(jnp.bfloat16)], axis=-1), (0, 3, 1, 2)
+    )
+    src2 = jnp.pad(src2, ((0, 0), (0, 0), (ext, hp - h + ext), (0, 0)))
+    x1 = jnp.pad(
+        jnp.transpose(X11.astype(jnp.float32), (0, 3, 1, 2)),
+        ((0, 0), (0, 0), (e1, hp - h + e1), (halo, halo)),
+    )
+    x2 = jnp.pad(
+        jnp.transpose(X21.astype(jnp.float32), (0, 3, 1, 2)),
+        ((0, 0), (0, 0), (ext, hp - h + ext), (0, 0)),
+    )
+    du_arr = jnp.array([[du for du, _ in taps]], jnp.int32)
+    dv_arr = jnp.array([[dv for _, dv in taps]], jnp.int32)
+
+    re_ = bh + 2 * ext
+    sr1 = bh + 2 * e1
+    c1 = 3 + d + p
+    c2 = 3 + d
+
+    out_shape = [
+        jax.ShapeDtypeStruct((b, hp, w), jnp.int32),  # idx
+        jax.ShapeDtypeStruct((b, hp, w), jnp.int32),  # valid
+    ]
+    out_specs = [
+        pl.BlockSpec((1, bh, w), lambda bi, ii: (bi, ii, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bh, w), lambda bi, ii: (bi, ii, 0), memory_space=pltpu.VMEM),
+    ]
+    if p:
+        out_shape.append(jax.ShapeDtypeStruct((b, p, hp, w), jnp.bfloat16))
+        out_specs.append(
+            pl.BlockSpec(
+                (1, p, bh, w), lambda bi, ii: (bi, 0, ii, 0), memory_space=pltpu.VMEM
+            )
+        )
+    if want_hit:
+        out_shape.append(jax.ShapeDtypeStruct((b, hp, w), jnp.int32))
+        out_specs.append(
+            pl.BlockSpec((1, bh, w), lambda bi, ii: (bi, ii, 0), memory_space=pltpu.VMEM)
+        )
+
+    scratch = [
+        pltpu.VMEM((c1, sr1, wp), jnp.bfloat16),  # s1
+        pltpu.VMEM((c2, re_, w), jnp.bfloat16),  # s2
+        pltpu.VMEM((3, sr1, wp), jnp.float32),  # sx1
+        pltpu.VMEM((3, re_, w), jnp.float32),  # sx2
+        pltpu.VMEM((re_, wp), jnp.float32),  # best cost
+        pltpu.VMEM((re_, wp), jnp.int32),  # best du
+        pltpu.VMEM((re_, wp), jnp.int32),  # best dv
+        pltpu.VMEM((3, re_, wp), jnp.float32),  # selected X11
+        pltpu.VMEM((re_, wp), jnp.int32),  # valid at ext rows
+    ]
+    if p:
+        scratch.append(pltpu.VMEM((p, re_, wp), jnp.bfloat16))
+    scratch.append(pltpu.SemaphoreType.DMA((4,)))
+
+    smem = lambda bi, ii: (0, 0)  # noqa: E731 — tap tables: one block
+    kernel = functools.partial(
+        _kernel,
+        H=h,
+        W=w,
+        band=bh,
+        halo=halo,
+        ext=ext,
+        T=t,
+        D=d,
+        P=p,
+        want_hit=want_hit,
+        desc_weight=desc_weight,
+        dist_thresh=dist_thresh,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b, nb),
+        in_specs=[
+            pl.BlockSpec((1, t), smem, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, t), smem, memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(du_arr, dv_arr, src1, src2, x1, x2)
+
+    idx = outs[0][:, :h, :].reshape(b, h * w)
+    valid = (outs[1][:, :h, :] > 0).reshape(b, h * w, 1)
+    ret = [idx, valid]
+    if p:
+        pay = jnp.transpose(outs[2][:, :, :h, :], (0, 2, 3, 1))
+        ret.append(pay.reshape(b, h * w, p))
+    if want_hit:
+        ret.append((outs[-1][:, :h, :] > 0).reshape(b, h * w))
+    return tuple(ret)

@@ -1,0 +1,109 @@
+"""On-chip A/B: XLA shifted-tap matcher vs Pallas VMEM-tiled matcher.
+
+Strict relay-safe protocol (docs/PLAN.md, bench.py): every timed loop is a
+DATA-DEPENDENT chain (call k+1 consumes call k's output, so the device
+cannot overlap or reorder) closed by a scalar fetch (block_until_ready
+returns early through the relay). A no-op dispatch+fetch baseline is
+subtracted once.
+
+Usage:  python scripts/measure_matcher.py [--iters 20] [--quick]
+Writes: prints a small table; exits nonzero if the pallas path fails to
+compile so a wrapper can fall back gracefully.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--quick", action="store_true", help="CPU-size smoke")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if args.quick:
+        jax.config.update("jax_platforms", "cpu")
+
+    from mast3r_slam_tpu.ops.dense_match import match_dense_window
+    from mast3r_slam_tpu.ops.dense_match_pallas import match_dense_window_pallas
+
+    h, w, d, p = (48, 64, 8, 5) if args.quick else (384, 512, 24, 5)
+    radius = 2 if args.quick else 6
+    interpret = jax.default_backend() != "tpu"
+    print(f"backend={jax.default_backend()} {h}x{w} d={d} radius={radius}")
+
+    rng = np.random.default_rng(7)
+    X1 = jnp.asarray(rng.normal(size=(1, h, w, 3)).astype(np.float32)) + jnp.array(
+        [0.0, 0.0, 3.0]
+    )
+    X2 = X1 + 0.01 * jnp.asarray(rng.normal(size=(1, h, w, 3)).astype(np.float32))
+    D1 = jnp.asarray(rng.normal(size=(1, h, w, d)).astype(np.float32))
+    D2 = jnp.asarray(rng.normal(size=(1, h, w, d)).astype(np.float32))
+    pay = jnp.asarray(rng.normal(size=(1, h, w, p)).astype(np.float32))
+    kw = dict(radius=radius, dilations=(1,), payload=pay, want_hit=True)
+
+    def fetch(x):
+        return float(jnp.asarray(x).ravel()[0].astype(jnp.float32))
+
+    # No-op dispatch + fetch baseline.
+    noop = jax.jit(lambda x: x + 1.0)
+    fetch(noop(jnp.float32(0.0)))
+    t0 = time.perf_counter()
+    for i in range(5):
+        fetch(noop(jnp.float32(i)))
+    base = (time.perf_counter() - t0) / 5
+    print(f"noop dispatch+fetch baseline: {base * 1e3:.2f} ms")
+
+    def timed_chain(fn, label):
+        # Chain: perturb X2 with the previous call's selected payload so
+        # call k+1 depends on call k (no overlap, no caching shortcuts).
+        # The bump is folded INSIDE the jitted step — out-of-jit jnp ops
+        # would each dispatch separately through the relay and poison the
+        # measurement (docs/PLAN.md timing protocol).
+        @jax.jit
+        def step(x1, x2, d1, d2):
+            out = fn(x1, x2, d1, d2)
+            bump = out[2].reshape(1, h, w, p)[..., :3] * 1e-12
+            return out, x2 + bump
+
+        try:
+            out, x2 = step(X1, X2, D1, D2)  # compile
+        except Exception as e:  # pallas compile failure -> report, skip
+            print(f"{label}: FAILED ({type(e).__name__}: {e})")
+            return None
+        fetch(out[0])
+        x2 = X2
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out, x2 = step(X1, x2, D1, D2)
+        s = fetch(out[0])
+        dt = (time.perf_counter() - t0 - base) / args.iters
+        print(f"{label}: {dt * 1e3:.3f} ms/call  (chain tail {s:.1f})")
+        return dt
+
+    t_xla = timed_chain(
+        lambda *a: match_dense_window(*a, **kw), "xla shifted-tap (payload+hit)"
+    )
+    t_pal = timed_chain(
+        lambda *a: match_dense_window_pallas(*a, interpret=interpret, **kw),
+        "pallas vmem-tiled (payload+hit)",
+    )
+    if t_pal is None:
+        return 1
+    if t_xla:
+        print(f"speedup: {t_xla / t_pal:.2f}x")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

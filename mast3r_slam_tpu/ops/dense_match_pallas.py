@@ -80,9 +80,23 @@ def _kernel(
     want_hit: bool,
     desc_weight: float,
     dist_thresh: float,
+    lane_mode: str,
 ):
     RE = band + 2 * ext
     SR1 = band + 2 * (ext + halo)
+
+    def shifted(ref, rows, du, chs=None):
+        """ref[(chs,) rows, du+halo : du+halo+W] with a dynamic `du`.
+
+        "ds": dynamic lane-offset slice (the direct form). "roll": dynamic
+        rotate + static slice — the fallback if Mosaic rejects dynamic
+        lane-dim `pl.ds` starts (rotates are native TPU lane ops)."""
+        pre = () if chs is None else (chs,)
+        if lane_mode == "ds":
+            return ref[(*pre, rows, pl.ds(du + halo, W))]
+        full = ref[(*pre, rows, slice(None))]
+        wp = full.shape[-1]
+        return pltpu.roll(full, wp - (du + halo), axis=full.ndim - 1)[..., :W]
 
     # --- unpack outputs / scratch (order mirrors the wrapper) ---
     n_out = 2 + (1 if P else 0) + (1 if want_hit else 0)
@@ -136,12 +150,12 @@ def _kernel(
         du = du_ref[0, t]
         dv = dv_ref[0, t]
         rows = pl.ds(dv + halo, RE)
-        cols = pl.ds(du + halo, W)
-        r1 = s1[0:3, rows, cols]
+        r1 = shifted(s1, rows, du, chs=slice(0, 3))
         diff = (r1 - s2[0:3]).astype(jnp.float32)
         cost = jnp.sum(diff * diff, axis=0)
         if desc_weight > 0:
-            sim = jnp.sum((s1[3 : 3 + D, rows, cols] * s2[3:]).astype(jnp.float32), axis=0)
+            d1 = shifted(s1, rows, du, chs=slice(3, 3 + D))
+            sim = jnp.sum((d1 * s2[3:]).astype(jnp.float32), axis=0)
             cost = cost - desc_weight * sim
         ok = (
             q_in
@@ -156,11 +170,11 @@ def _kernel(
         bc[:, cw] = jnp.where(take, cost, bc[:, cw])
         bdu[:, cw] = jnp.where(take, du, bdu[:, cw])
         bdv[:, cw] = jnp.where(take, dv, bdv[:, cw])
-        xsel[:, :, cw] = jnp.where(take[None], sx1[:, rows, cols], xsel[:, :, cw])
+        xs = shifted(sx1, rows, du, chs=slice(None))
+        xsel[:, :, cw] = jnp.where(take[None], xs, xsel[:, :, cw])
         if P:
-            psel[:, :, cw] = jnp.where(
-                take[None], s1[3 + D :, rows, cols], psel[:, :, cw]
-            )
+            p1 = shifted(s1, rows, du, chs=slice(3 + D, None))
+            psel[:, :, cw] = jnp.where(take[None], p1, psel[:, :, cw])
         return 0
 
     jax.lax.fori_loop(0, T, tap_body, 0)
@@ -194,11 +208,10 @@ def _kernel(
             du = du_ref[0, t]
             dv = dv_ref[0, t]
             rows = pl.ds(ext + dv, band)
-            cols = pl.ds(halo + du, W)
             m = (
-                (bdu[rows, cols] == du)
-                & (bdv[rows, cols] == dv)
-                & (vext[rows, cols] > 0)
+                (shifted(bdu, rows, du) == du)
+                & (shifted(bdv, rows, du) == dv)
+                & (shifted(vext, rows, du) > 0)
             )
             return hit | m.astype(jnp.int32)
 
@@ -217,6 +230,7 @@ def _kernel(
         "want_hit",
         "band",
         "interpret",
+        "lane_mode",
     ),
 )
 def match_dense_window_pallas(
@@ -232,6 +246,7 @@ def match_dense_window_pallas(
     want_hit: bool = False,
     band: int = 64,
     interpret: bool = False,
+    lane_mode: str = "ds",
 ):
     """Drop-in twin of `match_dense_window` backed by the Pallas kernel.
 
@@ -334,6 +349,7 @@ def match_dense_window_pallas(
         want_hit=want_hit,
         desc_weight=desc_weight,
         dist_thresh=dist_thresh,
+        lane_mode=lane_mode,
     )
     outs = pl.pallas_call(
         kernel,

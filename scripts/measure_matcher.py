@@ -25,6 +25,10 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--quick", action="store_true", help="CPU-size smoke")
+    ap.add_argument(
+        "--lane-mode", default="ds", choices=["ds", "roll"],
+        help="pallas lane-shift implementation (roll = rotate fallback)",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -95,8 +99,10 @@ def main(argv=None) -> int:
         lambda *a: match_dense_window(*a, **kw), "xla shifted-tap (payload+hit)"
     )
     t_pal = timed_chain(
-        lambda *a: match_dense_window_pallas(*a, interpret=interpret, **kw),
-        "pallas vmem-tiled (payload+hit)",
+        lambda *a: match_dense_window_pallas(
+            *a, interpret=interpret, lane_mode=args.lane_mode, **kw
+        ),
+        f"pallas vmem-tiled lane={args.lane_mode} (payload+hit)",
     )
     if t_pal is None:
         return 1

@@ -29,46 +29,17 @@ def _pearson(a, b):
     return float(np.corrcoef(a, b)[0, 1])
 
 
-_FETCH_BASELINE = None
-
-
-def _fetch_scalar(out):
-    """Force device completion by FETCHING data, not by block_until_ready:
-    through the axon relay, block returns before device completion
-    (measured in round 2 — see bench.py docstring); a scalar fetch is the
-    only sync that provably waits for the program."""
-    import jax
-    import jax.numpy as jnp
-
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    return float(jnp.asarray(leaf).ravel()[0].astype(jnp.float32))
-
-
 def _time_device(fn, *args, iters=5):
-    import jax
-    import jax.numpy as jnp
+    """Relay-safe per-call timing: dependent chain + scalar fetch (see
+    benchmarks/timing.py — independent dispatches closed by
+    block_until_ready under-measure through the relay)."""
+    import sys
+    from pathlib import Path
 
-    global _FETCH_BASELINE
-    out = fn(*args)  # compile
-    _fetch_scalar(out)
-    if _FETCH_BASELINE is None:
-        # Dispatch + scalar-fetch round trip of a no-op program: the fixed
-        # relay cost to subtract (one fetch per timed loop).
-        noop = jax.jit(lambda x: x + 1.0)
-        noop(jnp.float32(0.0))
-        t0 = time.perf_counter()
-        reps = 5
-        for i in range(reps):
-            float(noop(jnp.float32(i)))
-        _FETCH_BASELINE = (time.perf_counter() - t0) / reps
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _fetch_scalar(out)
-    dt = time.perf_counter() - t0
-    # iters sequential dispatches queue in order on the chip; one fetch RTT
-    # closes the chain. Never report below zero on a noisy baseline.
-    return max(dt - _FETCH_BASELINE, dt * 0.05) / iters, out
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from benchmarks.timing import time_device_chained
+
+    return time_device_chained(fn, *args, iters=iters)
 
 
 def _time_host(fn, *args, iters=1):

@@ -207,11 +207,15 @@ def _kernel(
         def hit_body(t, hit):
             du = du_ref[0, t]
             dv = dv_ref[0, t]
-            rows = pl.ds(ext + dv, band)
+            # INVERSE shift: view-2 pixel q winning tap (du, dv) claims
+            # view-1 pixel q + (du, dv), so hit at view-1 (y, x) reads the
+            # win mask at (y - dv, x - du) — the margins' sentinels /
+            # zeroed valid make the out-of-band reads contribute nothing.
+            rows = pl.ds(ext - dv, band)
             m = (
-                (shifted(bdu, rows, du) == du)
-                & (shifted(bdv, rows, du) == dv)
-                & (shifted(vext, rows, du) > 0)
+                (shifted(bdu, rows, -du) == du)
+                & (shifted(bdv, rows, -du) == dv)
+                & (shifted(vext, rows, -du) > 0)
             )
             return hit | m.astype(jnp.int32)
 

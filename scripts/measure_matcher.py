@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import argparse
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -56,43 +55,20 @@ def main(argv=None) -> int:
     pay = jnp.asarray(rng.normal(size=(1, h, w, p)).astype(np.float32))
     kw = dict(radius=radius, dilations=(1,), payload=pay, want_hit=True)
 
-    def fetch(x):
-        return float(jnp.asarray(x).ravel()[0].astype(jnp.float32))
+    from benchmarks.timing import noop_baseline, time_device_chained
 
-    # No-op dispatch + fetch baseline.
-    noop = jax.jit(lambda x: x + 1.0)
-    fetch(noop(jnp.float32(0.0)))
-    t0 = time.perf_counter()
-    for i in range(5):
-        fetch(noop(jnp.float32(i)))
-    base = (time.perf_counter() - t0) / 5
-    print(f"noop dispatch+fetch baseline: {base * 1e3:.2f} ms")
+    print(f"noop dispatch+fetch baseline: {noop_baseline() * 1e3:.2f} ms")
 
     def timed_chain(fn, label):
-        # Chain: perturb X2 with the previous call's selected payload so
-        # call k+1 depends on call k (no overlap, no caching shortcuts).
-        # The bump is folded INSIDE the jitted step — out-of-jit jnp ops
-        # would each dispatch separately through the relay and poison the
-        # measurement (docs/PLAN.md timing protocol).
-        @jax.jit
-        def step(x1, x2, d1, d2):
-            out = fn(x1, x2, d1, d2)
-            bump = out[2].reshape(1, h, w, p)[..., :3] * 1e-12
-            return out, x2 + bump
-
+        # Shared relay-safe protocol (benchmarks/timing.py): each call's
+        # output perturbs the next call's first argument inside one jitted
+        # step, and the loop closes with a scalar fetch.
         try:
-            out, x2 = step(X1, X2, D1, D2)  # compile
+            dt, _ = time_device_chained(fn, X1, X2, D1, D2, iters=args.iters)
         except Exception as e:  # pallas compile failure -> report, skip
             print(f"{label}: FAILED ({type(e).__name__}: {e})")
             return None
-        fetch(out[0])
-        x2 = X2
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out, x2 = step(X1, x2, D1, D2)
-        s = fetch(out[0])
-        dt = (time.perf_counter() - t0 - base) / args.iters
-        print(f"{label}: {dt * 1e3:.3f} ms/call  (chain tail {s:.1f})")
+        print(f"{label}: {dt * 1e3:.3f} ms/call")
         return dt
 
     t_xla = timed_chain(

@@ -33,8 +33,19 @@ def _world(key, b, h, w, d, noise=0.05):
     return X11, X21, D11, D21
 
 
+def _scatter_hit(idx, valid):
+    """Ground-truth hit = zeros.at[idx].max(valid), from given outputs."""
+    b, n = idx.shape
+    hit = np.zeros((b, n), bool)
+    for bi in range(b):
+        np.maximum.at(hit[bi], idx[bi], valid[bi, :, 0])
+    return hit
+
+
 def _compare(ref, ker, min_agree=0.995):
-    """idx agreement >= floor; valid/payload/hit exact where idx agrees."""
+    """idx agreement >= floor; valid/payload exact where idx agrees; hit
+    EXACTLY equals the scatter ground truth of each path's own idx/valid
+    (near-tie argmin flips change idx, never the hit formula)."""
     idx_r, valid_r = np.asarray(ref[0]), np.asarray(ref[1])
     idx_k, valid_k = np.asarray(ker[0]), np.asarray(ker[1])
     same = idx_r == idx_k
@@ -44,9 +55,8 @@ def _compare(ref, ker, min_agree=0.995):
     for r, k in zip(ref[2:], ker[2:]):
         r, k = np.asarray(r), np.asarray(k)
         if r.dtype == np.bool_:
-            # hit depends on neighbours' winners too; near-tie flips there
-            # can leak in, so hold it to the same agreement floor.
-            assert (r == k).mean() >= min_agree
+            np.testing.assert_array_equal(r, _scatter_hit(idx_r, valid_r))
+            np.testing.assert_array_equal(k, _scatter_hit(idx_k, valid_k))
         else:
             np.testing.assert_allclose(
                 r[same].astype(np.float32), k[same].astype(np.float32), atol=1e-6

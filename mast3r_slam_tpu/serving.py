@@ -241,6 +241,11 @@ class BatchTracker:
         )
         self._program_img = None  # built on first step_images_async
         self.state: Optional[BatchState] = None
+        # Continuous batching: which slots hold live sequences. Inactive
+        # slots still ride the lockstep SPMD program (an SPMD batch cannot
+        # skip lanes) but their stats are masked out and their state is
+        # re-initialized when a new sequence joins via `open_slot`.
+        self.active: Optional[np.ndarray] = None
 
     def _shard_batch(self, x: jax.Array) -> jax.Array:
         if self.mesh is None:
@@ -274,6 +279,7 @@ class BatchTracker:
             fr_N=sh(jnp.zeros((B,))),
             T_WC=sh(ident),
         )
+        self.active = np.ones((B,), bool)
 
     def step_async(self, feats: jax.Array, poss: jax.Array) -> jax.Array:
         """Track one new frame per sequence (pre-encoded features) with NO
@@ -343,17 +349,52 @@ class BatchTracker:
         match_frac = stats[:, 0]
         new_kf = np.minimum(stats[:, 1], stats[:, 2]) < self.cfg.match_frac_thresh
         tracked = match_frac >= self.cfg.min_match_frac
+        if self.active is not None:
+            tracked &= self.active
+            new_kf &= self.active
         return dict(
             poses=self.state.T_WC,
             match_frac=match_frac,
             new_kf=new_kf,
             tracked=tracked,
+            active=None if self.active is None else self.active.copy(),
         )
 
     def step(self, feats: jax.Array, poss: jax.Array) -> dict:
         """Synchronous convenience wrapper: `step_async` + `resolve_stats`
         (one host sync per batch)."""
         return self.resolve_stats(self.step_async(feats, poss))
+
+    def open_slot(self, i: int, feat, poss, X, C) -> None:
+        """Continuous batching: start a NEW sequence in slot `i` (its first
+        keyframe's features/positions + mono pointmap), pose reset to
+        identity. Slots are independent lanes of the lockstep program, so
+        joining mid-stream never perturbs the other sequences
+        (test_per_sequence_isolation); the handful of `.at[i].set` updates
+        dispatch once per join, not per frame."""
+        s = self.state
+        ident = lie.sim3_identity()
+        self.state = dataclasses.replace(
+            s,
+            kf_feat=s.kf_feat.at[i].set(feat),
+            kf_pos=s.kf_pos.at[i].set(poss),
+            kf_X=s.kf_X.at[i].set(X),
+            kf_C=s.kf_C.at[i].set(C),
+            kf_N=s.kf_N.at[i].set(1.0),
+            kf_T=s.kf_T.at[i].set(ident),
+            fr_X=s.fr_X.at[i].set(0.0),
+            fr_C=s.fr_C.at[i].set(0.0),
+            fr_N=s.fr_N.at[i].set(0.0),
+            T_WC=s.T_WC.at[i].set(ident),
+        )
+        self.active[i] = True
+
+    def close_slot(self, i: int) -> np.ndarray:
+        """Continuous batching: retire the sequence in slot `i` and return
+        its final Sim3 pose. The slot keeps riding the SPMD program as a
+        masked lane until `open_slot` reuses it."""
+        self.active[i] = False
+        return np.asarray(self.state.T_WC[i])
 
     def update_keyframes(self, seq_ids, feats, poss, Xs, Cs) -> None:
         """Promote the given sequences' current frames to keyframes.

@@ -79,6 +79,34 @@ class TestBatchTracker:
             np.testing.assert_allclose(poses[b][:3], 0.0, atol=0.05)
             np.testing.assert_allclose(poses[b][3:7], [0, 0, 0, 1], atol=0.05)
 
+    def test_slot_lifecycle(self, setup, rng):
+        """Continuous batching: close a slot (masked out of stats), open a
+        NEW sequence in it mid-stream, and verify the join neither breaks
+        its own tracking nor perturbs the other lanes."""
+        model, imgs, feats, poss, Xs, Cs = setup
+        bt = BatchTracker(model)
+        bt.init_from_keyframes(feats, poss, Xs, Cs)
+
+        final_pose = bt.close_slot(1)
+        assert final_pose.shape == (8,)
+        out = bt.step(feats, poss)
+        assert out["tracked"][0] and out["tracked"][2]
+        assert not out["tracked"][1] and not out["new_kf"][1]
+        assert list(out["active"]) == [True, False, True]
+
+        # a new sequence joins slot 1
+        h, w = model._out_hw
+        img = jnp.asarray(rng.uniform(-1, 1, (1, h, w, 3)).astype(np.float32))
+        f, p = model.encode(img)
+        X, C = model.mono(f[0], p[0])
+        bt.open_slot(1, f[0], p[0], X, C)
+        out = bt.step(feats.at[1].set(f[0]), poss.at[1].set(p[0]))
+        assert out["tracked"].all() and out["active"].all()
+        poses = np.asarray(out["poses"])
+        for b in range(3):  # joiner at identity, others unperturbed
+            np.testing.assert_allclose(poses[b][:3], 0.0, atol=0.05)
+            np.testing.assert_allclose(poses[b][3:7], [0, 0, 0, 1], atol=0.05)
+
     def test_image_input_matches_feature_input(self, setup):
         """step_images_async (in-dispatch batched encode from raw [0,1]
         images) must match encode-then-step_async to float tolerance."""
@@ -162,6 +190,49 @@ class TestShardedServing:
             np.asarray(out["poses"]), np.asarray(out_ref["poses"]), atol=1e-4
         )
         np.testing.assert_array_equal(out["tracked"], out_ref["tracked"])
+
+    def test_slot_lifecycle_dp_sharded(self, tiny_model, rng):
+        """open_slot/close_slot on a dp-sharded tracker: the scatter
+        updates must land in the right shard and leave other lanes
+        bit-identical to an unsharded tracker doing the same churn."""
+        from mast3r_slam_tpu.parallel.mesh import make_mesh
+
+        set_config(
+            Config.from_dict(
+                {
+                    "matching": {"use_simple": True, "dist_thresh": 1e6},
+                    "tracking": {"min_match_frac": 0.01},
+                }
+            )
+        )
+        B = 4
+        h, w = tiny_model._out_hw
+        feats, poss, Xs, Cs = [], [], [], []
+        for _ in range(B + 1):  # one extra sequence for the mid-run join
+            img = jnp.asarray(rng.uniform(-1, 1, (1, h, w, 3)).astype(np.float32))
+            f, p = tiny_model.encode(img)
+            X, C = tiny_model.mono(f[0], p[0])
+            feats.append(f[0]); poss.append(p[0]); Xs.append(X); Cs.append(C)
+        extra = (feats[B], poss[B], Xs[B], Cs[B])
+        feats, poss = jnp.stack(feats[:B]), jnp.stack(poss[:B])
+        Xs, Cs = jnp.stack(Xs[:B]), jnp.stack(Cs[:B])
+
+        def churn(bt):
+            bt.init_from_keyframes(feats, poss, Xs, Cs)
+            bt.step(feats, poss)
+            bt.close_slot(2)
+            bt.open_slot(2, *extra)
+            return bt.step(
+                feats.at[2].set(extra[0]), poss.at[2].set(extra[1])
+            )
+
+        out_ref = churn(BatchTracker(tiny_model))
+        out = churn(BatchTracker(tiny_model, mesh=make_mesh(4, tp=1)))
+        np.testing.assert_allclose(
+            np.asarray(out["poses"]), np.asarray(out_ref["poses"]), atol=1e-4
+        )
+        np.testing.assert_array_equal(out["tracked"], out_ref["tracked"])
+        assert out["tracked"].all()
 
     def test_dp_tp_sharded_matches_unsharded(self, tiny_model, rng):
         """(dp=2, tp=4) mesh: sequences dp-sharded AND model weights

@@ -64,6 +64,7 @@ def match(
         from mast3r_slam_tpu.ops.dense_match_pallas import (
             MAX_HALO,
             match_dense_window_pallas,
+            pallas_matcher_available,
         )
 
         halo = cfg.dense_radius * max(cfg.dense_dilations)
@@ -71,6 +72,7 @@ def match(
             cfg.dense_kernel == "auto"
             and jax.default_backend() == "tpu"
             and halo <= MAX_HALO
+            and pallas_matcher_available()
         )
         if use_pallas:
             return match_dense_window_pallas(

@@ -224,6 +224,31 @@ def _kernel(
         )
 
 
+_AVAILABLE: bool | None = None
+
+
+def pallas_matcher_available() -> bool:
+    """Probe-compile the kernel once on the current backend (tiny shape).
+
+    The `auto` dispatch policy (`matching.dense_kernel`) consults this so a
+    Mosaic rejection on some future toolchain degrades to the XLA matcher
+    instead of crashing the SLAM pipeline at first dispatch; explicitly
+    requesting "pallas" still fails loudly."""
+    global _AVAILABLE
+    if _AVAILABLE is None:
+        try:
+            x = jnp.zeros((1, 16, 128, 3), jnp.float32)
+            d = jnp.zeros((1, 16, 128, 4), jnp.float32)
+            match_dense_window_pallas(
+                x, x, d, d, radius=1, band=16,
+                interpret=jax.default_backend() != "tpu",
+            )
+            _AVAILABLE = True
+        except Exception:
+            _AVAILABLE = False
+    return _AVAILABLE
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

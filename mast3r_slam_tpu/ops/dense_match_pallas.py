@@ -81,6 +81,7 @@ def _kernel(
     desc_weight: float,
     dist_thresh: float,
     lane_mode: str,
+    fast_sum: bool,
 ):
     RE = band + 2 * ext
     SR1 = band + 2 * (ext + halo)
@@ -155,7 +156,15 @@ def _kernel(
         cost = jnp.sum(diff * diff, axis=0)
         if desc_weight > 0:
             d1 = shifted(s1, rows, du, chs=slice(3, 3 + D))
-            sim = jnp.sum((d1 * s2[3:]).astype(jnp.float32), axis=0)
+            prod = d1 * s2[3:]
+            if fast_sum and D % 2 == 0:
+                # One pairwise bf16 add level before the f32 widen+sum:
+                # halves the widen/f32-add count in the kernel's hottest
+                # loop. The extra rounding is one bf16 add of two ~1/D
+                # products — the same magnitude as the bf16 product
+                # rounding both matchers already carry.
+                prod = prod[0::2] + prod[1::2]
+            sim = jnp.sum(prod.astype(jnp.float32), axis=0)
             cost = cost - desc_weight * sim
         ok = (
             q_in
@@ -260,6 +269,7 @@ def pallas_matcher_available() -> bool:
         "band",
         "interpret",
         "lane_mode",
+        "fast_sum",
     ),
 )
 def match_dense_window_pallas(
@@ -276,6 +286,7 @@ def match_dense_window_pallas(
     band: int = 64,
     interpret: bool = False,
     lane_mode: str = "ds",
+    fast_sum: bool = False,
 ):
     """Drop-in twin of `match_dense_window` backed by the Pallas kernel.
 
@@ -379,6 +390,7 @@ def match_dense_window_pallas(
         desc_weight=desc_weight,
         dist_thresh=dist_thresh,
         lane_mode=lane_mode,
+        fast_sum=fast_sum,
     )
     outs = pl.pallas_call(
         kernel,

@@ -28,6 +28,11 @@ def main(argv=None) -> int:
         "--lane-mode", default="ds", choices=["ds", "roll"],
         help="pallas lane-shift implementation (roll = rotate fallback)",
     )
+    ap.add_argument("--band", type=int, default=64, help="pallas row-band height")
+    ap.add_argument(
+        "--fast-sum", action="store_true",
+        help="pairwise bf16 pre-reduction of descriptor products",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -76,9 +81,11 @@ def main(argv=None) -> int:
     )
     t_pal = timed_chain(
         lambda *a: match_dense_window_pallas(
-            *a, interpret=interpret, lane_mode=args.lane_mode, **kw
+            *a, interpret=interpret, lane_mode=args.lane_mode,
+            band=args.band, fast_sum=args.fast_sum, **kw
         ),
-        f"pallas vmem-tiled lane={args.lane_mode} (payload+hit)",
+        f"pallas vmem-tiled lane={args.lane_mode} band={args.band}"
+        f" fast_sum={args.fast_sum} (payload+hit)",
     )
     if t_pal is None:
         return 1

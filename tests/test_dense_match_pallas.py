@@ -107,6 +107,19 @@ def test_parity_degenerate_points():
     _compare(ref, ker)
 
 
+def test_parity_fast_sum():
+    """Pairwise bf16 pre-reduction: near-tie flips only (lower floor)."""
+    b, h, w, d = 1, 32, 48, 8
+    X11, X21, D11, D21 = _world(jax.random.PRNGKey(6), b, h, w, d)
+    kw = dict(radius=2, dilations=(1,), desc_weight=1.0, dist_thresh=0.3)
+    ref = match_dense_window(X11, X21, D11, D21, want_hit=True, **kw)
+    ker = match_dense_window_pallas(
+        X11, X21, D11, D21, want_hit=True, band=16, interpret=True,
+        fast_sum=True, **kw
+    )
+    _compare(ref, ker, min_agree=0.98)
+
+
 def test_dispatch_through_match():
     """config.matching.dense_kernel='pallas' routes matching.match through
     the kernel (interpreter mode off-TPU) with identical results."""

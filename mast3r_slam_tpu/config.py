@@ -208,6 +208,16 @@ class RuntimeConfig:
     # transients scale with the chunk, not the batch (v5e compiles B=4
     # flat but OOMs HLO temps at B=8; chunked, B=8/16 fit). 0 = flat vmap.
     serving_microbatch: int = 4
+    # Speculative batched window decode: decode ALL K window frames against
+    # the window-start keyframe in one batched pass (chunked by
+    # window_decode_microbatch, same HLO-temp reasoning as
+    # serving_microbatch), so decoder/DPT weights stream from HBM once per
+    # window instead of once per frame. Each frame's lax.cond falls back to
+    # a live per-frame decode once an on-device promotion changes the
+    # keyframe mid-window — semantics are EXACT (test_window_scan), only
+    # the promotion-window overhead differs. Off until on-chip numbers land.
+    window_spec_decode: bool = False
+    window_decode_microbatch: int = 4
     # Keyframe eviction when the arena is full: "covisibility" drops the
     # lowest-edge-degree keyframe outside the protected set (gauge anchors
     # + the most recent `eviction_protect`); "off" restores the hard

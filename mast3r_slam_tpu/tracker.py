@@ -340,16 +340,38 @@ def _make_fused_track_chain(
         T_WCf,  # pose init (previous frame's pose)
         T_WCk,
         K=None,  # [4]/[3,3] intrinsics (calib mode only)
+        spec_f=None,  # speculative decode outputs for THIS frame (no batch
+        spec_k=None,  # dim), valid while spec_ok — see the scan builder
+        spec_ok=None,
     ):
-        out_f, out_k = model.net.apply(
-            params,
-            feat_f,
-            pos_f,
-            feat_k[None],
-            pos_k[None],
-            out_hw,
-            method=MASt3RNet.decode,
-        )
+        def _decode_live(_):
+            return model.net.apply(
+                params,
+                feat_f,
+                pos_f,
+                feat_k[None],
+                pos_k[None],
+                out_hw,
+                method=MASt3RNet.decode,
+            )
+
+        if spec_f is None:
+            out_f, out_k = _decode_live(None)
+        else:
+            # Speculative batched window decode: use the precomputed
+            # window-start-keyframe outputs while no promotion has changed
+            # the chain's keyframe; afterwards decode live. lax.cond
+            # executes ONE branch on TPU (no vmap here), so the live
+            # decode costs nothing on the speculative path.
+            out_f, out_k = jax.lax.cond(
+                spec_ok,
+                lambda _: (
+                    jax.tree_util.tree_map(lambda a: a[None], spec_f),
+                    jax.tree_util.tree_map(lambda a: a[None], spec_k),
+                ),
+                _decode_live,
+                None,
+            )
 
         def sub(a):  # dataset.img_downsample stride slicing (static)
             return a[:, ::f, ::f] if f > 1 else a
@@ -499,6 +521,7 @@ def _make_fused_track_chain_scan(
         model, cfg, filtering_mode, img_downsample, use_calib,
         _return_body=True,
     )
+    out_hw = model._out_hw
     _PER_FRAME = (
         "stats", "T_WCf", "frame_X", "frame_C", "feat", "pos",
         "ret_X", "ret_C", "kf_X", "kf_C", "kf_T",
@@ -529,20 +552,63 @@ def _make_fused_track_chain_scan(
         feat_all, pos_all = model.net.apply(
             params, imgs * 2.0 - 1.0, method=MASt3RNet.encode
         )
-        state = (feat_k, pos_k, idx_init, kX, kC, kN, T_WCf, T_WCk)
+
+        # Speculative batched decode (runtime.window_spec_decode): all K
+        # frames against the WINDOW-START keyframe in one pass — decoder +
+        # DPT weights ride HBM once per window, like the batched encode
+        # above. Chunked by window_decode_microbatch to bound activation
+        # transients (v5e HLO-temp ceiling, same fix as serving). Exact:
+        # frames after an on-device promotion fall back to live decodes
+        # via the per-frame lax.cond in `body`.
+        rt = get_config().runtime
+        spec_f_all = spec_k_all = None
+        if rt.window_spec_decode and not use_calib:
+            kn = imgs.shape[0]
+
+            def spec_decode(ff, pf):
+                rep = lambda a: jnp.broadcast_to(  # noqa: E731
+                    a, (ff.shape[0],) + a.shape
+                )
+                return model.net.apply(
+                    params, ff, pf, rep(feat_k), rep(pos_k), out_hw,
+                    method=MASt3RNet.decode,
+                )
+
+            mb = rt.window_decode_microbatch
+            if mb and kn > mb and kn % mb == 0:
+                def chunk(_, xs):
+                    return 0, spec_decode(*xs)
+
+                _, (spec_f_all, spec_k_all) = jax.lax.scan(
+                    chunk, 0,
+                    (feat_all.reshape(kn // mb, mb, *feat_all.shape[1:]),
+                     pos_all.reshape(kn // mb, mb, *pos_all.shape[1:])),
+                )
+                unchunk = lambda a: a.reshape(kn, *a.shape[2:])  # noqa: E731
+                spec_f_all = jax.tree_util.tree_map(unchunk, spec_f_all)
+                spec_k_all = jax.tree_util.tree_map(unchunk, spec_k_all)
+            else:
+                spec_f_all, spec_k_all = spec_decode(feat_all, pos_all)
+
+        state = (
+            (feat_k, pos_k, idx_init, kX, kC, kN, T_WCf, T_WCk),
+            jnp.asarray(True),  # spec still valid (no promotion yet)
+        )
 
         def step(st, xs):
-            feat_f, pos_f = xs
-            fk, pk, idx, X, C, N, Tp, Tk = st
+            feat_f, pos_f, sf, sk = xs
+            (fk, pk, idx, X, C, N, Tp, Tk), ok = st
             out = step_fn(
                 params, feat_f[None], pos_f[None],
                 fk, pk, idx, X, C, N, Tp, Tk, K,
+                spec_f=sf, spec_k=sk, spec_ok=ok,
             )
+            ok2 = jnp.logical_and(ok, out["stats"][3] != float(EVENT_NEW_KF))
             st2 = (
                 out["kf_feat"], out["kf_pos"], out["idx"], out["kf_X"],
                 out["kf_C"], out["kN"], out["T_WCf"], out["kf_T"],
             )
-            return st2, {k: out[k] for k in _PER_FRAME}
+            return (st2, ok2), {k: out[k] for k in _PER_FRAME}
 
         # FULLY UNROLLED window (K is small and static — runtime.sync_every,
         # default 8). A `lax.scan` here costs ~2x on device: the while body
@@ -558,8 +624,9 @@ def _make_fused_track_chain_scan(
         # duplicated at the jaxpr level — a Python loop re-traces the
         # 686M-param body K times, which costs minutes of host time per
         # process even when the XLA compile itself is cache-served.
-        state2, outs = jax.lax.scan(
-            step, state, (feat_all, pos_all), unroll=imgs.shape[0]
+        (state2, _), outs = jax.lax.scan(
+            step, state, (feat_all, pos_all, spec_f_all, spec_k_all),
+            unroll=imgs.shape[0],
         )
         outs["final"] = dict(zip(_STATE, state2))
         return outs

@@ -21,11 +21,24 @@ from mast3r_slam_tpu.tracker import (
 )
 
 
-def test_scan_matches_sequential_chain(tiny_model, rng):
+import pytest
+
+
+@pytest.mark.parametrize("spec_decode", [False, True])
+def test_scan_matches_sequential_chain(tiny_model, rng, spec_decode):
     set_config(
         Config.from_dict(
             {
-                "runtime": {"keyframe_capacity": 8},
+                "runtime": {
+                    "keyframe_capacity": 8,
+                    # speculative batched decode must be EXACT: the world
+                    # below promotes mid-window, exercising both the
+                    # speculative fast path (pre-promotion frames) and the
+                    # live-decode lax.cond fallback (post-promotion frames),
+                    # through the chunked (microbatch 2, K=4) spec pass.
+                    "window_spec_decode": spec_decode,
+                    "window_decode_microbatch": 2,
+                },
                 # promotion thresholds left at defaults: the drifting frames
                 # below trigger at least one on-device promotion, exercising
                 # the lax.cond path inside the scan

@@ -73,6 +73,20 @@ def main() -> int:
         "unrolled decode chain) instead of the per-frame cached-features "
         "step; ms/step is then ms/frame",
     )
+    ap.add_argument(
+        "--bench-config", action="store_true",
+        help="use bench.py's tracking-throughput config (dense matcher, "
+        "gates open, no promotions) instead of library defaults",
+    )
+    ap.add_argument(
+        "--spec-decode", action="store_true",
+        help="enable runtime.window_spec_decode (speculative batched "
+        "window decode) for the A/B",
+    )
+    ap.add_argument(
+        "--dense-kernel", default=None, choices=["xla", "pallas", "auto"],
+        help="override matching.dense_kernel (pallas = VMEM-tiled matcher)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -86,6 +100,29 @@ def main() -> int:
         _ensure_encoded,
         mast3r_inference_mono,
     )
+
+    from mast3r_slam_tpu.config import Config, get_config, set_config
+
+    if args.bench_config:
+        set_config(
+            Config.from_dict(
+                {
+                    "runtime": {"keyframe_capacity": 32},
+                    "local_opt": {"max_edges": 32},
+                    "matching": {"method": "dense", "dist_thresh": 1e6},
+                    "tracking": {
+                        "min_match_frac": 0.0,
+                        "match_frac_thresh": 0.0,
+                        "Q_conf": 0.0,
+                    },
+                }
+            )
+        )
+    live_cfg = get_config()
+    if args.spec_decode:
+        live_cfg.runtime.window_spec_decode = True
+    if args.dense_kernel:
+        live_cfg.matching.dense_kernel = args.dense_kernel
 
     t0 = time.time()
     model = MASt3RModel.create(resolution=512)

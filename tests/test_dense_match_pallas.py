@@ -141,6 +141,56 @@ def test_dispatch_through_match():
     _compare(outs["xla"], outs["pallas"])
 
 
+def test_serving_vmap_composition(tiny_model, rng):
+    """The serving program vmaps match() per lane (and optionally scans
+    microbatches); the Pallas kernel must survive that composition with
+    the same poses as the XLA matcher."""
+    import numpy as np
+
+    from mast3r_slam_tpu.config import Config, set_config
+    from mast3r_slam_tpu.serving import BatchTracker
+
+    B = 2
+    h, w = tiny_model._out_hw
+    feats, poss, Xs, Cs = [], [], [], []
+    for _ in range(B):
+        img = jnp.asarray(rng.uniform(-1, 1, (1, h, w, 3)).astype(np.float32))
+        f, p = tiny_model.encode(img)
+        X, C = tiny_model.mono(f[0], p[0])
+        feats.append(f[0]); poss.append(p[0]); Xs.append(X); Cs.append(C)
+    feats, poss = jnp.stack(feats), jnp.stack(poss)
+    Xs, Cs = jnp.stack(Xs), jnp.stack(Cs)
+
+    outs = {}
+    for kernel in ("xla", "pallas"):
+        set_config(
+            Config.from_dict(
+                {
+                    "matching": {
+                        "method": "dense",
+                        "dense_radius": 2,
+                        "dense_kernel": kernel,
+                        "dist_thresh": 1e6,
+                    },
+                    "tracking": {"min_match_frac": 0.0},
+                    "runtime": {"serving_microbatch": 0},
+                }
+            )
+        )
+        bt = BatchTracker(tiny_model)
+        bt.init_from_keyframes(feats, poss, Xs, Cs)
+        outs[kernel] = bt.step(feats, poss)
+    set_config(Config())
+    np.testing.assert_allclose(
+        np.asarray(outs["pallas"]["poses"]),
+        np.asarray(outs["xla"]["poses"]),
+        atol=1e-3,
+    )
+    np.testing.assert_array_equal(
+        outs["pallas"]["tracked"], outs["xla"]["tracked"]
+    )
+
+
 def test_halo_guard():
     b, h, w, d = 1, 16, 16, 4
     X11, X21, D11, D21 = _world(jax.random.PRNGKey(3), b, h, w, d)

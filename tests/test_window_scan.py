@@ -24,8 +24,20 @@ from mast3r_slam_tpu.tracker import (
 import pytest
 
 
-@pytest.mark.parametrize("spec_decode", [False, True])
-def test_scan_matches_sequential_chain(tiny_model, rng, spec_decode):
+@pytest.mark.parametrize(
+    "spec_decode,matching",
+    [
+        (False, {}),
+        (True, {}),
+        # the full deployment composition when both round-3 perf flags
+        # flip: speculative batched decode + the Pallas dense matcher
+        # (interpreter mode on CPU) inside the unrolled window chain
+        (True, {"method": "dense", "dense_radius": 2,
+                "dense_kernel": "pallas", "dist_thresh": 1e6}),
+    ],
+    ids=["base", "spec", "spec+pallas-dense"],
+)
+def test_scan_matches_sequential_chain(tiny_model, rng, spec_decode, matching):
     set_config(
         Config.from_dict(
             {
@@ -39,6 +51,7 @@ def test_scan_matches_sequential_chain(tiny_model, rng, spec_decode):
                     "window_spec_decode": spec_decode,
                     "window_decode_microbatch": 2,
                 },
+                "matching": matching,
                 # promotion thresholds left at defaults: the drifting frames
                 # below trigger at least one on-device promotion, exercising
                 # the lax.cond path inside the scan

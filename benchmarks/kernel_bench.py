@@ -15,10 +15,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 from pathlib import Path
 
 import numpy as np
+
+# Runnable as `python benchmarks/kernel_bench.py`: the repo root (for
+# benchmarks.timing / tests.fixtures imports) is the script dir's parent.
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def _pearson(a, b):
@@ -33,10 +38,6 @@ def _time_device(fn, *args, iters=5):
     """Relay-safe per-call timing: dependent chain + scalar fetch (see
     benchmarks/timing.py — independent dispatches closed by
     block_until_ready under-measure through the relay)."""
-    import sys
-    from pathlib import Path
-
-    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     from benchmarks.timing import time_device_chained
 
     return time_device_chained(fn, *args, iters=iters)
@@ -250,8 +251,7 @@ def bench_dense_match_pallas(rng, quick=False):
 
     kw = dict(radius=radius, dilations=(1,), payload=pay, want_hit=True)
     t_pal, out_pal = _time_device(
-        lambda *a: match_dense_window_pallas(*a, interpret=interpret, **kw),
-        X1, X2, D1, D2,
+        lambda *a: match_dense_window_pallas(*a, **kw), X1, X2, D1, D2
     )
     t_xla, out_xla = _time_device(
         lambda *a: match_dense_window(*a, **kw), X1, X2, D1, D2

@@ -86,9 +86,8 @@ def match(
                 dist_thresh=cfg.dist_thresh,
                 payload=payload,
                 want_hit=want_hit,
-                # One code path everywhere: interpreter mode off-TPU (tests
-                # force dense_kernel="pallas" on the CPU mesh).
-                interpret=jax.default_backend() != "tpu",
+                # interpret resolves automatically: interpreter mode off-TPU
+                # (tests force dense_kernel="pallas" on the CPU mesh).
             )
         return match_dense_window(
             X11,

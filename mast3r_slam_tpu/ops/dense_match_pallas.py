@@ -248,10 +248,7 @@ def pallas_matcher_available() -> bool:
         try:
             x = jnp.zeros((1, 16, 128, 3), jnp.float32)
             d = jnp.zeros((1, 16, 128, 4), jnp.float32)
-            match_dense_window_pallas(
-                x, x, d, d, radius=1, band=16,
-                interpret=jax.default_backend() != "tpu",
-            )
+            match_dense_window_pallas(x, x, d, d, radius=1, band=16)
             _AVAILABLE = True
         except Exception:
             _AVAILABLE = False
@@ -284,7 +281,7 @@ def match_dense_window_pallas(
     payload: jax.Array | None = None,
     want_hit: bool = False,
     band: int = 64,
-    interpret: bool = False,
+    interpret: bool | None = None,
     lane_mode: str = "ds",
     fast_sum: bool = False,
 ):
@@ -293,8 +290,10 @@ def match_dense_window_pallas(
     Same signature/returns as the XLA version; `band` is the row-band tile
     height (64 keeps the hit path's extended-row overhead at 19% while the
     whole working set stays ~9 MB of VMEM), `interpret` runs the kernel in
-    interpreter mode for CPU tests.
+    interpreter mode (default: automatically, whenever not on TPU).
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     b, h, w, _ = X11.shape
     d = D11.shape[-1]
     p = 0 if payload is None else payload.shape[-1]

@@ -142,6 +142,7 @@ def train_loop(
     Returns (params, losses list). Parameters shard tensor-parallel over
     the mesh's 'tp' axis, batches over 'dp' (see train.py)."""
     import jax
+    import jax.numpy as jnp
     import optax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -153,8 +154,6 @@ def train_loop(
     # Donation-safe: the train step donates (params, opt_state); never hand
     # it the caller's buffers (a second train_loop on the same params would
     # otherwise hit deleted arrays). jnp.copy preserves shardings.
-    import jax.numpy as jnp
-
     params = jax.tree.map(jnp.copy, params)
     opt_state = opt.init(params)
     start = 0

@@ -47,7 +47,6 @@ def main(argv=None) -> int:
 
     h, w, d, p = (48, 64, 8, 5) if args.quick else (384, 512, 24, 5)
     radius = 2 if args.quick else 6
-    interpret = jax.default_backend() != "tpu"
     print(f"backend={jax.default_backend()} {h}x{w} d={d} radius={radius}")
 
     rng = np.random.default_rng(7)
@@ -81,7 +80,7 @@ def main(argv=None) -> int:
     )
     t_pal = timed_chain(
         lambda *a: match_dense_window_pallas(
-            *a, interpret=interpret, lane_mode=args.lane_mode,
+            *a, lane_mode=args.lane_mode,
             band=args.band, fast_sum=args.fast_sum, **kw
         ),
         f"pallas vmem-tiled lane={args.lane_mode} band={args.band}"

@@ -372,6 +372,8 @@ class BatchTracker:
         joining mid-stream never perturbs the other sequences
         (test_per_sequence_isolation); the handful of `.at[i].set` updates
         dispatch once per join, not per frame."""
+        if self.state is None:
+            raise RuntimeError("call init_from_keyframes before open_slot")
         s = self.state
         ident = lie.sim3_identity()
         self.state = dataclasses.replace(
@@ -393,6 +395,8 @@ class BatchTracker:
         """Continuous batching: retire the sequence in slot `i` and return
         its final Sim3 pose. The slot keeps riding the SPMD program as a
         masked lane until `open_slot` reuses it."""
+        if self.state is None:
+            raise RuntimeError("call init_from_keyframes before close_slot")
         self.active[i] = False
         return np.asarray(self.state.T_WC[i])
 

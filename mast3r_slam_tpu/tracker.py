@@ -562,6 +562,9 @@ def _make_fused_track_chain_scan(
         # via the per-frame lax.cond in `body`.
         rt = get_config().runtime
         spec_f_all = spec_k_all = None
+        # (calib mode keeps per-frame decodes: the decode itself is
+        # calib-independent, but the calib window path has no scan-parity
+        # test yet — enable there only with that evidence in place)
         if rt.window_spec_decode and not use_calib:
             kn = imgs.shape[0]
 

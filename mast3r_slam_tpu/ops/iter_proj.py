@@ -13,9 +13,12 @@ matching.py:370-390), this runs as ONE fused XLA program:
 * the bilinear gather over the [B, H, W, 9] ray+gradient image is a batched
   `take` over a flattened [B, H*W, 9] buffer (XLA gather on HBM),
 * the 2x2 damped normal equations are solved in closed form on the VPU,
-* the LM loop is a `lax.fori_loop` (no host sync for convergence checks —
-  the reference's `.item()` early-exit, matching.py:320-321, becomes a
-  per-point frozen mask so converged points simply stop moving),
+* the LM loop is a fully unrolled `lax.scan` (no host sync for convergence
+  checks — the reference's `.item()` early-exit, matching.py:320-321,
+  becomes a per-point frozen mask so converged points simply stop moving;
+  max_iter is a small static constant, and on this TPU toolchain XLA loop
+  regions impose loop-carried buffer constraints that cost far more than
+  the body itself — same finding as the window-unroll, docs/PLAN.md),
 * everything stays on device; callers jit the enclosing tracking step.
 
 Why there is NO hand-written Pallas variant of this kernel
@@ -140,7 +143,7 @@ def iter_proj(
     lam = jnp.asarray(lambda_init, rays_with_grad.dtype)
     thresh_sq = convergence_thresh * convergence_thresh
 
-    def body(_, carry):
+    def body(carry, _):
         p, frozen = carry
         sampled = bilinear_sample(rays_with_grad, p)  # [B, N, 9]
         r = sampled[..., 0:3] - pts3d_norm  # residual [B, N, 3]
@@ -163,10 +166,19 @@ def iter_proj(
         step = jnp.where(frozen[..., None], 0.0, delta)
         p_new = p + step
         frozen_new = frozen | (jnp.sum(delta * delta, axis=-1) < thresh_sq)
-        return p_new, frozen_new
+        return (p_new, frozen_new), None
 
     frozen0 = jnp.zeros(p_init.shape[:-1], dtype=bool)
-    p, _ = jax.lax.fori_loop(0, max_iter, body, (p_init.astype(jnp.float32), frozen0))
+    # Unrolled: the body is traced ONCE (scan), then XLA's while-loop
+    # simplifier inlines the unroll=max_iter trip — full fusion freedom,
+    # no loop-carried aliasing constraints on the [B,N,*] buffers.
+    (p, _), _ = jax.lax.scan(
+        body,
+        (p_init.astype(jnp.float32), frozen0),
+        None,
+        length=max_iter,
+        unroll=max_iter,
+    )
 
     valid = (p[..., 0] >= 0) & (p[..., 0] < w) & (p[..., 1] >= 0) & (p[..., 1] < h)
     p_final = jnp.stack(

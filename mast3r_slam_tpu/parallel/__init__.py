@@ -4,11 +4,18 @@ The reference has NO distributed execution of any kind (SURVEY.md §2.9) —
 its "communication backend" is Apple unified memory. This package is the
 TPU-native scaling layer the reference couldn't have: a (dp, tp) mesh over
 ICI with XLA-inserted collectives, Megatron-style tensor parallelism for
-the ViT matmuls, and data parallelism over view-pairs — used for MASt3R
+the ViT matmuls, data parallelism over view-pairs, and GPipe pipeline
+parallelism over encoder depth (pipeline.py) — used for MASt3R
 fine-tuning and for batch inference fan-out (backend edge batches).
 """
 
 from mast3r_slam_tpu.parallel.mesh import make_mesh
+from mast3r_slam_tpu.parallel.pipeline import (
+    encoder_stage_params,
+    jit_pipelined_encode,
+    make_pipeline_mesh,
+    pipelined_encode,
+)
 from mast3r_slam_tpu.parallel.sharding import (
     infer_param_shardings,
     shard_params,
@@ -21,6 +28,10 @@ from mast3r_slam_tpu.parallel.train import (
 
 __all__ = [
     "make_mesh",
+    "make_pipeline_mesh",
+    "encoder_stage_params",
+    "pipelined_encode",
+    "jit_pipelined_encode",
     "infer_param_shardings",
     "shard_params",
     "TrainState",

@@ -72,7 +72,16 @@ def match(
             cfg.dense_kernel == "auto"
             and jax.default_backend() == "tpu"
             and halo <= MAX_HALO
-            and pallas_matcher_available()
+            # Probe the REAL configuration (extras, width, desc depth) so
+            # "probe compiles but dispatch doesn't" can't happen.
+            and pallas_matcher_available(
+                radius=cfg.dense_radius,
+                dilations=tuple(cfg.dense_dilations),
+                payload_channels=0 if payload is None else payload.shape[-1],
+                want_hit=want_hit,
+                width=X11.shape[2],
+                desc_dim=D11.shape[-1],
+            )
         )
         if use_pallas:
             return match_dense_window_pallas(

@@ -233,26 +233,56 @@ def _kernel(
         )
 
 
-_AVAILABLE: bool | None = None
+_AVAILABLE: dict = {}
 
 
-def pallas_matcher_available() -> bool:
-    """Probe-compile the kernel once on the current backend (tiny shape).
+def pallas_matcher_available(
+    radius: int = 1,
+    dilations: tuple[int, ...] = (1,),
+    payload_channels: int = 0,
+    want_hit: bool = False,
+    width: int = 128,
+    desc_dim: int = 4,
+) -> bool:
+    """Probe-compile the kernel once per DISPATCH CONFIGURATION.
 
     The `auto` dispatch policy (`matching.dense_kernel`) consults this so a
     Mosaic rejection on some future toolchain degrades to the XLA matcher
     instead of crashing the SLAM pipeline at first dispatch; explicitly
-    requesting "pallas" still fails loudly."""
-    global _AVAILABLE
-    if _AVAILABLE is None:
+    requesting "pallas" still fails loudly.
+
+    The probe mirrors the real call — same radius/dilation lattice, the
+    payload-selection and hit passes when the caller wants them, the real
+    image width and descriptor depth (the VMEM slabs scale with both) —
+    trimmed to two row-bands so the compile stays cheap. A probe that only
+    compiled a stripped-down configuration could pass while the real
+    dispatch still fails, which is exactly the crash this gate exists to
+    prevent. Results are cached per configuration; the tiny output fetch
+    forces any deferred runtime failure (e.g. VMEM exhaustion) to surface
+    here rather than mid-pipeline."""
+    key = (radius, tuple(dilations), payload_channels, want_hit, width, desc_dim)
+    if key not in _AVAILABLE:
         try:
-            x = jnp.zeros((1, 16, 128, 3), jnp.float32)
-            d = jnp.zeros((1, 16, 128, 4), jnp.float32)
-            match_dense_window_pallas(x, x, d, d, radius=1, band=16)
-            _AVAILABLE = True
+            h = 128  # two default bands
+            x = jnp.zeros((1, h, width, 3), jnp.float32)
+            d = jnp.zeros((1, h, width, desc_dim), jnp.float32)
+            pay = (
+                jnp.zeros((1, h, width, payload_channels), jnp.float32)
+                if payload_channels
+                else None
+            )
+            out = match_dense_window_pallas(
+                x, x, d, d,
+                radius=radius,
+                dilations=tuple(dilations),
+                payload=pay,
+                want_hit=want_hit,
+            )
+            float(jnp.asarray(out[0]).ravel()[0])
+            _AVAILABLE[key] = True
         except Exception:
-            _AVAILABLE = False
-    return _AVAILABLE
+            _AVAILABLE[key] = False
+    return _AVAILABLE[key]
 
 
 @functools.partial(

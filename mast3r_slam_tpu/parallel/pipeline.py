@@ -84,7 +84,7 @@ def pipelined_encode(cfg, params, imgs: jax.Array, mesh: Mesh, n_microbatches: i
     Args:
         cfg: MASt3RConfig (encoder geometry + dtype)
         params: full model param tree (as in `MASt3RModel.params`)
-        imgs: [B, H, W, 3] normalized images; B must divide n_microbatches
+        imgs: [B, H, W, 3] normalized images; n_microbatches must divide B
         mesh: a Mesh with a "pp" axis (see `make_pipeline_mesh`)
         n_microbatches: GPipe M (M >= n_stages recommended)
 

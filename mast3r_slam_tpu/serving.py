@@ -41,7 +41,9 @@ class BatchState:
     kf_C: jax.Array  # [B, N, 1]
     kf_N: jax.Array  # [B]
     kf_T: jax.Array  # [B, 8]
-    fr_X: jax.Array  # [B, N, 3] current-frame canonical state
+    # Current frame's fused canonical state (reset every step — each step
+    # is a new video frame; kept so callers can promote without re-decode).
+    fr_X: jax.Array  # [B, N, 3]
     fr_C: jax.Array  # [B, N, 1]
     fr_N: jax.Array  # [B]
     T_WC: jax.Array  # [B, 8] current poses
@@ -77,7 +79,7 @@ def _make_batch_program(model, cfg, filtering_mode: str, mesh=None,
     )
     out_hw = model._out_hw
 
-    def one(params, feat_f, pos_f, kf_feat, kf_pos, fX, fC, fN, kX, kC, kN, T, Tk):
+    def one(params, feat_f, pos_f, kf_feat, kf_pos, kX, kC, kN, T, Tk):
         out_f, out_k = model.net.apply(
             params,
             feat_f[None],
@@ -95,7 +97,18 @@ def _make_batch_program(model, cfg, filtering_mode: str, mesh=None,
         Xkf = out_k["pts3d"].reshape(n, 3)
         Ckf = out_k["conf"].reshape(n, 1)
         Qkf = out_k["desc_conf"].reshape(n, 1)
-        fX2, fC2, fN2 = fuse_pointmap_masked(fX, fC, fN, Xff, Cff, filtering_mode)
+        # Each serving step is a NEW video frame: its canonical state starts
+        # empty and IS the fused model output — matching the single-sequence
+        # twins (FrameTracker feeds a fresh Frame with N=0 per image; the
+        # chained window program passes the decode directly). Fusing into
+        # the PREVIOUS frame's state would average pointmaps expressed in
+        # different camera frames, so the previous state is not even an
+        # input here. fr_X/fr_C/fr_N still ride BatchState so callers can
+        # promote the current frame without a re-decode.
+        fX2, fC2, fN2 = fuse_pointmap_masked(
+            jnp.zeros_like(Xff), jnp.zeros_like(Cff), jnp.zeros(()),
+            Xff, Cff, filtering_mode,
+        )
         fC2_avg = fC2 / jnp.maximum(fN2, 1.0)
         # NOTE: serving deliberately does NOT use the matcher's
         # window-stream extras (matching.match(payload=, want_hit=)): under
@@ -140,9 +153,7 @@ def _make_batch_program(model, cfg, filtering_mode: str, mesh=None,
             stats=stats,
         )
 
-    vone = jax.vmap(
-        one, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
-    )
+    vone = jax.vmap(one, in_axes=(None,) + (0,) * 9)
 
     def batched(params, *args):
         B = args[0].shape[0]
@@ -163,7 +174,7 @@ def _make_batch_program(model, cfg, filtering_mode: str, mesh=None,
         )
 
     run = batched
-    n_data_args = 12
+    n_data_args = 9
     if image_input:
         # Image-input serving: ONE dispatch = batched ViT encode (full B —
         # token-level transients are small; only decode/DPT need the
@@ -177,7 +188,7 @@ def _make_batch_program(model, cfg, filtering_mode: str, mesh=None,
             )
             return batched(params, f, p, *rest)
 
-        n_data_args = 11
+        n_data_args = 8
 
     if mesh is None:
         return jax.jit(run)
@@ -247,6 +258,11 @@ class BatchTracker:
         # re-initialized when a new sequence joins via `open_slot`.
         self.active: Optional[np.ndarray] = None
 
+    def _require_state(self, op: str) -> BatchState:
+        if self.state is None:
+            raise RuntimeError(f"call init_from_keyframes before {op}")
+        return self.state
+
     def _shard_batch(self, x: jax.Array) -> jax.Array:
         if self.mesh is None:
             return x
@@ -289,16 +305,13 @@ class BatchTracker:
         caller fetches whenever convenient (e.g. every K batches, or
         overlapped with the next batch's compute). Feed the handle to
         `resolve_stats` for the host-side interpretation."""
-        s = self.state
+        s = self._require_state("step_async")
         out = self._program(
             self.model.params,
             feats,
             poss,
             s.kf_feat,
             s.kf_pos,
-            s.fr_X,
-            s.fr_C,
-            s.fr_N,
             s.kf_X,
             s.kf_C,
             s.kf_N,
@@ -327,10 +340,10 @@ class BatchTracker:
                 self.model, self.cfg, self.cfg.filtering_mode, self.mesh,
                 self.microbatch, image_input=True,
             )
-        s = self.state
+        s = self._require_state("step_images_async")
         out = self._program_img(
             self.model.params, imgs,
-            s.kf_feat, s.kf_pos, s.fr_X, s.fr_C, s.fr_N,
+            s.kf_feat, s.kf_pos,
             s.kf_X, s.kf_C, s.kf_N, s.T_WC, s.kf_T,
         )
         self.state = dataclasses.replace(
@@ -345,10 +358,17 @@ class BatchTracker:
         """Fetch + interpret one `step_async` stats handle (ONE host sync):
         poses refer to the CURRENT state (exact if resolved before further
         steps; after later steps the flags still refer to their own frame)."""
+        self._require_state("resolve_stats")
         stats = np.asarray(stats_dev)  # [B, 5]
         match_frac = stats[:, 0]
-        new_kf = np.minimum(stats[:, 1], stats[:, 2]) < self.cfg.match_frac_thresh
         tracked = match_frac >= self.cfg.min_match_frac
+        # Promotion only for TRACKED frames — same gate as the chained
+        # program's logical_and(not skip, ...) (tracker.py) and
+        # FrameTracker's early skip return: an untracked frame must never
+        # become a keyframe.
+        new_kf = tracked & (
+            np.minimum(stats[:, 1], stats[:, 2]) < self.cfg.match_frac_thresh
+        )
         if self.active is not None:
             tracked &= self.active
             new_kf &= self.active
@@ -372,9 +392,7 @@ class BatchTracker:
         joining mid-stream never perturbs the other sequences
         (test_per_sequence_isolation); the handful of `.at[i].set` updates
         dispatch once per join, not per frame."""
-        if self.state is None:
-            raise RuntimeError("call init_from_keyframes before open_slot")
-        s = self.state
+        s = self._require_state("open_slot")
         ident = lie.sim3_identity()
         self.state = dataclasses.replace(
             s,
@@ -395,8 +413,7 @@ class BatchTracker:
         """Continuous batching: retire the sequence in slot `i` and return
         its final Sim3 pose. The slot keeps riding the SPMD program as a
         masked lane until `open_slot` reuses it."""
-        if self.state is None:
-            raise RuntimeError("call init_from_keyframes before close_slot")
+        self._require_state("close_slot")
         self.active[i] = False
         return np.asarray(self.state.T_WC[i])
 
@@ -405,7 +422,7 @@ class BatchTracker:
 
         seq_ids: python list of sequence indices; remaining args are the
         new keyframes' [K, ...] arrays (mono pointmaps + features)."""
-        s = self.state
+        s = self._require_state("update_keyframes")
         ids = jnp.asarray(seq_ids)
         self.state = dataclasses.replace(
             s,

@@ -219,8 +219,11 @@ class FactorGraph:
 
         E_pad = _bucket(2 * e)
         if self.mesh is not None:
-            # edge axis shards over 'dp': pad the bucket up to a multiple
-            E_pad = max(E_pad, self.mesh.shape.get("dp", 1))
+            # edge axis shards over 'dp': round the bucket UP to a multiple
+            # of the axis size (a power-of-two bucket already is one for
+            # power-of-two dp, but dp=3/6/... meshes need the ceil)
+            dp = self.mesh.shape.get("dp", 1)
+            E_pad = ((E_pad + dp - 1) // dp) * dp
         K_pad = _bucket(unique.size, lo=2)
 
         pad_e = E_pad - 2 * e

@@ -45,9 +45,13 @@ class OfflineReconstructor:
                 X, C, _, _ = mast3r_inference_mono(self.model, f)
                 f.X_canon, f.C, f.N, f.N_updates = X, C, 1, 1
 
-        h = w = None
+        # Arena slots are sized from the POINTMAP grid, which is the image
+        # grid divided by dataset.img_downsample (mast3r_inference_mono
+        # stride-slices its outputs) — raw image dims would over-allocate
+        # and break every arena write when img_downsample > 1.
+        f0 = max(1, get_config().dataset.img_downsample)
         hw = frames[0].img.shape[:2]
-        kfs = Keyframes(hw[0], hw[1], capacity=max(n_frames, 2))
+        kfs = Keyframes(hw[0] // f0, hw[1] // f0, capacity=max(n_frames, 2))
         for f in frames:
             kfs.append(f)
 

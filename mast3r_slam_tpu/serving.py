@@ -63,20 +63,9 @@ def _make_batch_program(model, cfg, filtering_mode: str, mesh=None,
     while still amortizing launch overhead across the whole batch."""
     from mast3r_slam_tpu.models.mast3r import MASt3RNet
 
-    cfg_key = (
-        cfg.C_conf,
-        cfg.Q_conf,
-        cfg.min_match_frac,
-        cfg.max_iters,
-        cfg.huber,
-        cfg.sigma_ray,
-        cfg.sigma_dist,
-        cfg.rel_error,
-        cfg.delta_norm,
-        cfg.match_frac_thresh,
-        cfg.robust,
-        cfg.tukey_t,
-    )
+    from mast3r_slam_tpu.tracker import _rays_cfg_key
+
+    cfg_key = _rays_cfg_key(cfg)
     out_hw = model._out_hw
 
     def one(params, feat_f, pos_f, kf_feat, kf_pos, kX, kC, kN, T, Tk):

@@ -129,7 +129,9 @@ class SLAM:
                 entries, window[:] = list(window), []
                 stats = self.tracker.sync_chain([h for (_f, _t, h) in entries])
                 self._drain_window(
-                    [(f, t, h["out"]) for (f, t, h) in entries], stats
+                    [(f, t, h["out"]) for (f, t, h) in entries],
+                    stats,
+                    corr=entries[-1][2]["corr"],
                 )
 
         def drain_inflight() -> None:
@@ -144,6 +146,7 @@ class SLAM:
                     for j, (fr, ts) in enumerate(frames_ts)
                 ],
                 stats,
+                corr=handle["corr"],
             )
 
         # Frames are consumed in batches of `sync_every`, and each batch's
@@ -268,7 +271,7 @@ class SLAM:
             self._process_reloc(frame)
         self._bookkeep(frame, timestamp)
 
-    def _drain_window(self, entries: list[tuple], stats: np.ndarray) -> None:
+    def _drain_window(self, entries: list[tuple], stats: np.ndarray, corr) -> None:
         """Resolve a window of chained results: per-frame host bookkeeping
         driven by the on-device event codes (0 tracked / 1 promoted / 2
         skipped). `entries` is [(frame, timestamp, row)] where `row`
@@ -326,18 +329,18 @@ class SLAM:
         if completed:
             # Flush the chain's latest keyframe state into the arena and
             # re-anchor the chain's slot. Backend pose corrections queue as
-            # a world-frame left delta for the next dispatch (exact even
-            # with a window in flight: left deltas commute through the
-            # chain's on-device promotions).
+            # a world-frame left delta for the next dispatch; the window's
+            # pose belief is first brought up to date with corrections
+            # applied since ITS dispatch (queue_arena_correction — a delta
+            # measured against the stale belief would double-apply them).
             last_row = entries[-1][2]
             self.keyframes.write_pointmap(
                 cur, last_row["kf_X"], last_row["kf_C"], float(stats[-1, 4])
             )
             if pose_dirty:
-                delta = lie.sim3_mul(
-                    self.keyframes.T_WC[cur], lie.sim3_inv(last_row["kf_T"])
+                self.tracker.queue_arena_correction(
+                    self.keyframes.T_WC[cur], last_row["kf_T"], corr
                 )
-                self.tracker.push_pose_delta(delta)
             self.tracker.refresh_chain(cur)
         for frame, timestamp, _row in deferred:
             self._step_sync(frame, timestamp)

@@ -241,6 +241,26 @@ def _track_core_calib(
     )
 
 
+def _rays_cfg_key(cfg) -> tuple:
+    """Positional config bundle for `_track_core_rays` (trace-time
+    constants). ONE definition — the core unpacks positionally, so every
+    producer must agree on the order."""
+    return (
+        cfg.C_conf,
+        cfg.Q_conf,
+        cfg.min_match_frac,
+        cfg.max_iters,
+        cfg.huber,
+        cfg.sigma_ray,
+        cfg.sigma_dist,
+        cfg.rel_error,
+        cfg.delta_norm,
+        cfg.match_frac_thresh,
+        cfg.robust,
+        cfg.tukey_t,
+    )
+
+
 def _calib_cfg_key(cfg) -> tuple:
     return (
         cfg.C_conf,
@@ -310,20 +330,7 @@ def _make_fused_track_chain(
     if use_calib:
         cfg_key = _calib_cfg_key(cfg)
     else:
-        cfg_key = (
-            cfg.C_conf,
-            cfg.Q_conf,
-            cfg.min_match_frac,
-            cfg.max_iters,
-            cfg.huber,
-            cfg.sigma_ray,
-            cfg.sigma_dist,
-            cfg.rel_error,
-            cfg.delta_norm,
-            cfg.match_frac_thresh,
-            cfg.robust,
-            cfg.tukey_t,
-        )
+        cfg_key = _rays_cfg_key(cfg)
     out_hw = model._out_hw
     f = max(1, img_downsample)
 
@@ -578,18 +585,30 @@ def _make_fused_track_chain_scan(
                 )
 
             mb = rt.window_decode_microbatch
-            if mb and kn > mb and kn % mb == 0:
+            if mb and kn > mb:
+                # Chunk floor(kn/mb) full microbatches + a remainder pass:
+                # the chunking exists to bound the decoder/DPT activation
+                # working set, so an indivisible window must NOT silently
+                # fall back to the full-batch decode it was added to avoid.
+                nfull = kn // mb
+                kfull = nfull * mb
+
                 def chunk(_, xs):
                     return 0, spec_decode(*xs)
 
                 _, (spec_f_all, spec_k_all) = jax.lax.scan(
                     chunk, 0,
-                    (feat_all.reshape(kn // mb, mb, *feat_all.shape[1:]),
-                     pos_all.reshape(kn // mb, mb, *pos_all.shape[1:])),
+                    (feat_all[:kfull].reshape(nfull, mb, *feat_all.shape[1:]),
+                     pos_all[:kfull].reshape(nfull, mb, *pos_all.shape[1:])),
                 )
-                unchunk = lambda a: a.reshape(kn, *a.shape[2:])  # noqa: E731
+                unchunk = lambda a: a.reshape(kfull, *a.shape[2:])  # noqa: E731
                 spec_f_all = jax.tree_util.tree_map(unchunk, spec_f_all)
                 spec_k_all = jax.tree_util.tree_map(unchunk, spec_k_all)
+                if kfull < kn:
+                    rem_f, rem_k = spec_decode(feat_all[kfull:], pos_all[kfull:])
+                    cat = lambda a, b: jnp.concatenate([a, b], axis=0)  # noqa: E731
+                    spec_f_all = jax.tree_util.tree_map(cat, spec_f_all, rem_f)
+                    spec_k_all = jax.tree_util.tree_map(cat, spec_k_all, rem_k)
             else:
                 spec_f_all, spec_k_all = spec_decode(feat_all, pos_all)
 
@@ -650,7 +669,10 @@ class WindowRow:
         return self._out[key][self._j]
 
 
-def _make_fused_track(model, cfg, filtering_mode: str, use_calib: bool = False):
+def _make_fused_track(
+    model, cfg, filtering_mode: str, img_downsample: int = 1,
+    use_calib: bool = False,
+):
     """Build THE per-frame program: decode-from-cache + dense matching +
     pointmap fusion + GN pose + keyframe fusion + statistics, all in ONE
     jit. Over a high-latency host<->device link, per-frame cost is then one
@@ -660,23 +682,12 @@ def _make_fused_track(model, cfg, filtering_mode: str, use_calib: bool = False):
     from mast3r_slam_tpu.matching import match
     from mast3r_slam_tpu.models.mast3r import MASt3RNet
 
+    f = max(1, img_downsample)
+
     if use_calib:
         cfg_key = _calib_cfg_key(cfg)
     else:
-        cfg_key = (
-            cfg.C_conf,
-            cfg.Q_conf,
-            cfg.min_match_frac,
-            cfg.max_iters,
-            cfg.huber,
-            cfg.sigma_ray,
-            cfg.sigma_dist,
-            cfg.rel_error,
-            cfg.delta_norm,
-            cfg.match_frac_thresh,
-            cfg.robust,
-            cfg.tukey_t,
-        )
+        cfg_key = _rays_cfg_key(cfg)
     out_hw = model._out_hw
 
     def program(
@@ -705,24 +716,32 @@ def _make_fused_track(model, cfg, filtering_mode: str, use_calib: bool = False):
             out_hw,
             method=MASt3RNet.decode,
         )
-        h, w = out_f["pts3d"].shape[1:3]
+        def sub(a):  # dataset.img_downsample stride slicing (static)
+            return a[:, ::f, ::f] if f > 1 else a
+
+        Xi_f, Ci_f, Di_f, Qi_f = (
+            sub(out_f["pts3d"]), sub(out_f["conf"]), sub(out_f["desc"]),
+            sub(out_f["desc_conf"]),
+        )
+        Xi_k, Ci_k, Di_k, Qi_k = (
+            sub(out_k["pts3d"]), sub(out_k["conf"]), sub(out_k["desc"]),
+            sub(out_k["desc_conf"]),
+        )
+        h, w = Xi_f.shape[1:3]
         n = h * w
-        Xff = out_f["pts3d"].reshape(1, n, 3)
-        Cff = out_f["conf"].reshape(1, n, 1)
-        Qff = out_f["desc_conf"].reshape(1, n, 1)
-        Xkf = out_k["pts3d"].reshape(1, n, 3)
-        Ckf = out_k["conf"].reshape(1, n, 1)
-        Qkf = out_k["desc_conf"].reshape(1, n, 1)
+        Xff = Xi_f.reshape(1, n, 3)
+        Cff = Ci_f.reshape(1, n, 1)
+        Qff = Qi_f.reshape(1, n, 1)
+        Xkf = Xi_k.reshape(1, n, 3)
+        Ckf = Ci_k.reshape(1, n, 1)
+        Qkf = Qi_k.reshape(1, n, 1)
 
         fX2, fC2, fN2 = fuse_pointmap_masked(
             fX, fC, fN, Xff[0], Cff[0], filtering_mode
         )
         fC2_avg = fC2 / jnp.maximum(fN2, 1.0)
         if use_calib:
-            idx, valid = match(
-                out_f["pts3d"], out_k["pts3d"], out_f["desc"], out_k["desc"],
-                idx_init,
-            )
+            idx, valid = match(Xi_f, Xi_k, Di_f, Di_k, idx_init)
             core = _track_core_calib(
                 idx[0], valid[0], Qff[0], Qkf[0], fX2, fC2_avg,
                 kX, kC / jnp.maximum(kN, 1.0), Xkf[0],
@@ -741,7 +760,7 @@ def _make_fused_track(model, cfg, filtering_mode: str, use_calib: bool = False):
                 axis=-1,
             )
             idx, valid, pay_g, hit = match(
-                out_f["pts3d"], out_k["pts3d"], out_f["desc"], out_k["desc"],
+                Xi_f, Xi_k, Di_f, Di_k,
                 idx_init, payload=pay_img, want_hit=True,
             )
             core = _track_core_rays(
@@ -795,6 +814,14 @@ class FrameTracker:
         # commutes through on-device promotions, so deferring it to the
         # next dispatch is exact)
         self._pending_delta: Optional[jax.Array] = None
+        # Cumulative correction applied to THIS chain since it was (re)built
+        # + a generation counter: window handles snapshot (gen, corr) at
+        # dispatch so a drain can bring the window's stale pose belief up
+        # to date before measuring a new arena delta (see
+        # queue_arena_correction) — without this, a correction spanning two
+        # drains is applied twice.
+        self._corr_cum: jax.Array = lie.sim3_identity()
+        self._chain_gen: int = 0
         self._use_fused = (
             model is not None
             and hasattr(model, "net")
@@ -835,12 +862,15 @@ class FrameTracker:
                 T_prev=None,
             )
             self._pending_delta = None  # arena poses are already corrected
+            self._corr_cum = lie.sim3_identity()
+            self._chain_gen += 1
         elif self._pending_delta is not None:
             delta = self._pending_delta
             chain["T"] = lie.sim3_mul(delta, chain["T"])
             if chain["T_prev"] is not None:
                 chain["T_prev"] = lie.sim3_mul(delta, chain["T_prev"])
             self._pending_delta = None
+            self._corr_cum = lie.sim3_mul(delta, self._corr_cum)
         return chain
 
     def _warm_idx(self) -> jax.Array:
@@ -877,7 +907,11 @@ class FrameTracker:
             frame.img,
             chain["feat"],
             chain["pos"],
-            self.idx_f2k,
+            # _warm_idx (never None): an idx_init=None first call would be
+            # a second trace signature — a second full compile of the
+            # whole-model program; match() treats the identity iota and
+            # None identically.
+            self._warm_idx(),
             chain["X"],
             chain["C"],
             chain["N"],
@@ -896,7 +930,9 @@ class FrameTracker:
             T=out["kf_T"],
             T_prev=out["T_WCf"],
         )
-        return dict(frame=frame, out=out)
+        return dict(
+            frame=frame, out=out, corr=(self._chain_gen, self._corr_cum)
+        )
 
     def dispatch_window(
         self,
@@ -949,7 +985,12 @@ class FrameTracker:
             T=fin["kf_T"],
             T_prev=fin["T_prev"],
         )
-        return dict(frames=frames, out=out, window=True)
+        return dict(
+            frames=frames,
+            out=out,
+            window=True,
+            corr=(self._chain_gen, self._corr_cum),
+        )
 
     def sync_chain(self, handles: list) -> np.ndarray:
         """Fetch all handles' stats bundles in ONE host round trip.
@@ -980,17 +1021,50 @@ class FrameTracker:
         self._chain = None
         self._kf_cache = None
         self._pending_delta = None
+        self._corr_cum = lie.sim3_identity()
+        self._chain_gen += 1
         self.reset_idx_f2k()
 
     def push_pose_delta(self, delta: jax.Array) -> None:
-        """Queue a world-frame pose correction (arena pose vs the chain's
-        belief, from a backend solve) for the next dispatch. Left deltas
-        compose and commute through promotions, so queueing is exact even
-        with a window in flight."""
+        """Queue a world-frame pose correction for the next dispatch. Left
+        deltas compose and commute through on-device promotions; callers
+        measuring a delta against a DRAINED window's pose belief must go
+        through `queue_arena_correction` instead, which first brings that
+        belief up to date with corrections applied since the window was
+        dispatched."""
         if self._pending_delta is None:
             self._pending_delta = delta
         else:
             self._pending_delta = lie.sim3_mul(delta, self._pending_delta)
+
+    def queue_arena_correction(
+        self,
+        arena_T: jax.Array,
+        window_kf_T: jax.Array,
+        corr_at_dispatch: tuple[int, jax.Array],
+    ) -> None:
+        """Re-align the chain's pose belief with the arena after backend
+        solves: queue `arena_T · inv(belief)` as a left world delta.
+
+        `window_kf_T` is the drained window's final keyframe-pose belief
+        and `corr_at_dispatch` the (generation, correction) snapshot from
+        that window's handle. Corrections applied or queued since that
+        dispatch are already in the live chain but NOT in `window_kf_T`,
+        so the belief is brought up to date first — measuring against the
+        stale belief would re-queue those corrections and apply them twice
+        (one backend solve landing across two drains would double its
+        delta). A snapshot from a previous chain generation is ignored:
+        the rebuilt chain re-read the arena, which already carries every
+        correction."""
+        gen, corr0 = corr_at_dispatch
+        if gen != self._chain_gen:
+            return
+        corr_now = self._corr_cum
+        if self._pending_delta is not None:
+            corr_now = lie.sim3_mul(self._pending_delta, corr_now)
+        corr_since = lie.sim3_mul(corr_now, lie.sim3_inv(corr0))
+        belief = lie.sim3_mul(corr_since, window_kf_T)
+        self.push_pose_delta(lie.sim3_mul(arena_T, lie.sim3_inv(belief)))
 
     def refresh_chain(self, kf_idx: int) -> None:
         """Re-anchor the live chain's arena slot after a window drain (it
@@ -1084,7 +1158,7 @@ class FrameTracker:
         if self._fused is None:
             self._fused = _make_fused_track(
                 self.model, self.cfg, self.cfg.filtering_mode,
-                use_calib=self._calib_live(),
+                self._img_downsample, use_calib=self._calib_live(),
             )
             n = self.keyframes.h * self.keyframes.w
             self._zeros3 = jnp.zeros((n, 3))
@@ -1101,7 +1175,9 @@ class FrameTracker:
             frame.pos,
             kf["feat"],
             kf["pos"],
-            self.idx_f2k,
+            # never None: a None first call would add a second trace
+            # signature — a second full compile of the whole-model program
+            self._warm_idx(),
             fX,
             fC,
             fN,

@@ -80,6 +80,28 @@ class TestE2E:
         n_vertex = int([l for l in header if "element vertex" in l][0].split()[-1])
         assert n_vertex > 0
 
+    def test_img_downsample_fused_path(self, tmp_path, tiny_model):
+        """dataset.img_downsample=2: the arena holds (h/2)x(w/2) pointmaps
+        while the model decodes full-res — every fused program must
+        stride-slice its decode outputs (regression: the sync per-frame
+        program skipped the slicing and crashed at trace time)."""
+        ds_path = _static_dataset(tmp_path)
+        set_config(
+            Config.from_dict(
+                {
+                    "runtime": {"keyframe_capacity": 16, "pipeline": False},
+                    "local_opt": {"max_edges": 16},
+                    "matching": {"use_simple": True},
+                    "dataset": {"img_downsample": 2},
+                }
+            )
+        )
+        slam = SLAM(model=tiny_model, resolution=64)
+        results = slam.run(ds_path, max_frames=3)
+        assert results["poses"].shape == (3, 4, 4)
+        for T in results["poses"]:
+            np.testing.assert_allclose(T, np.eye(4), atol=0.05)
+
     def test_changing_scene_survives(self, tmp_path, tiny_model):
         """Random images: tracking may fail -> reloc path; must not crash."""
         rng = np.random.default_rng(3)

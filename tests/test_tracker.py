@@ -107,3 +107,77 @@ class TestTrack:
         new_kf, _, try_reloc = tracker.track(frame, degenerate_match)
         if not try_reloc:
             assert new_kf  # uniqueness collapse must trigger a new keyframe
+
+
+class TestChainPoseCorrections:
+    """Backend corrections vs an in-flight chain: a correction spanning two
+    window drains must be applied exactly once (the drained window's pose
+    belief predates corrections applied at later dispatches, so the drain
+    must bring it up to date before measuring a new arena delta)."""
+
+    @staticmethod
+    def _tracker(rng):
+        kfs, frame, fake_match, T_gt, Xk, Xf = _setup(rng)
+        return FrameTracker(model=None, keyframes=kfs)
+
+    @staticmethod
+    def _apply_pending(tracker, T):
+        """Mimic _ensure_chain's delta application at a dispatch."""
+        tracker._chain = dict(kf_idx=0, T=T, T_prev=None)
+        chain = tracker._ensure_chain(0)
+        return chain["T"]
+
+    def test_correction_spanning_two_drains_applied_once(self, rng):
+        tracker = self._tracker(rng)
+        T0 = lie.sim3_exp(jnp.asarray([0.1, -0.2, 0.3, 0.02, -0.01, 0.03, 0.01]))
+        g1 = lie.sim3_exp(jnp.asarray([0.05, 0.0, -0.1, 0.01, 0.02, 0.0, -0.02]))
+        g2 = lie.sim3_exp(jnp.asarray([-0.03, 0.08, 0.0, 0.0, -0.02, 0.01, 0.0]))
+
+        tracker._chain = dict(kf_idx=0, T=T0, T_prev=None)
+        snap_w1 = (tracker._chain_gen, tracker._corr_cum)  # dispatch(W1)
+        snap_w2 = (tracker._chain_gen, tracker._corr_cum)  # dispatch(W2)
+
+        # drain(W1): backend solve g1 landed; arena = g1*T0; belief = T0.
+        arena1 = lie.sim3_mul(g1, T0)
+        tracker.queue_arena_correction(arena1, T0, snap_w1)
+        T_after = self._apply_pending(tracker, T0)  # dispatch(W3)
+        np.testing.assert_allclose(
+            np.asarray(T_after), np.asarray(arena1), atol=1e-6
+        )
+
+        # drain(W2): its belief is STILL T0 (dispatched before g1 applied);
+        # a second solve g2 landed, arena = g2*g1*T0. The queued delta must
+        # be exactly g2 — not g2*g1 again.
+        arena2 = lie.sim3_mul(g2, arena1)
+        tracker.queue_arena_correction(arena2, T0, snap_w2)
+        T_final = self._apply_pending(tracker, T_after)  # dispatch(W4)
+        np.testing.assert_allclose(
+            np.asarray(T_final), np.asarray(arena2), atol=1e-6
+        )
+
+    def test_pending_delta_counts_toward_belief(self, rng):
+        """Two drains with NO dispatch in between: the second drain's
+        belief update must include the still-pending first delta."""
+        tracker = self._tracker(rng)
+        T0 = lie.sim3_exp(jnp.asarray([0.0, 0.1, -0.1, 0.01, 0.0, -0.01, 0.0]))
+        g1 = lie.sim3_exp(jnp.asarray([0.02, -0.04, 0.0, 0.0, 0.01, 0.0, 0.01]))
+        g2 = lie.sim3_exp(jnp.asarray([0.0, 0.03, 0.05, -0.01, 0.0, 0.02, 0.0]))
+        snap = (tracker._chain_gen, tracker._corr_cum)
+
+        arena1 = lie.sim3_mul(g1, T0)
+        tracker.queue_arena_correction(arena1, T0, snap)
+        arena2 = lie.sim3_mul(g2, arena1)
+        tracker.queue_arena_correction(arena2, T0, snap)  # g1 still pending
+        T_final = self._apply_pending(tracker, T0)
+        np.testing.assert_allclose(
+            np.asarray(T_final), np.asarray(arena2), atol=1e-6
+        )
+
+    def test_stale_generation_ignored(self, rng):
+        tracker = self._tracker(rng)
+        T0 = lie.sim3_identity()
+        snap_old = (tracker._chain_gen, tracker._corr_cum)
+        tracker.abort_chain()  # rebuild: arena is already the truth
+        g = lie.sim3_exp(jnp.asarray([0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))
+        tracker.queue_arena_correction(lie.sim3_mul(g, T0), T0, snap_old)
+        assert tracker._pending_delta is None

@@ -147,6 +147,55 @@ class TestBatchTracker:
         assert out["tracked"].all()
 
 
+class TestSingleSequenceParity:
+    def test_matches_frame_tracker(self, tiny_model, rng):
+        """B=1 serving equals the single-sequence fused tracker on the same
+        frame: same decode, same fresh-frame fusion, same GN solve — the
+        batching machinery must be semantically invisible. (Regression for
+        the cross-frame canonical-state fusion serving used to do.)"""
+        from mast3r_slam_tpu.frame import Frame, Keyframes
+        from mast3r_slam_tpu.tracker import FrameTracker
+
+        set_config(
+            Config.from_dict(
+                {
+                    "matching": {"use_simple": True, "dist_thresh": 1e6},
+                    "tracking": {"min_match_frac": 0.0},
+                }
+            )
+        )
+        h, w = tiny_model._out_hw
+        imgA = jnp.asarray(np.asarray(rng.uniform(-1, 1, (1, h, w, 3)), np.float32))
+        imgB = jnp.asarray(np.asarray(rng.uniform(-1, 1, (1, h, w, 3)), np.float32))
+        fA, pA = tiny_model.encode(imgA)
+        XA, CA = tiny_model.mono(fA[0], pA[0])
+        fB, pB = tiny_model.encode(imgB)
+
+        kfs = Keyframes(
+            h, w, capacity=4, feat_dim=fA.shape[-1], num_patches=fA.shape[1]
+        )
+        frameA = Frame(frame_id=0, img=imgA[0])
+        frameA.X_canon, frameA.C = XA, CA
+        frameA.feat, frameA.pos = fA[0], pA[0]
+        frameA.N = frameA.N_updates = 1
+        kfs.append(frameA)
+        frameB = Frame(frame_id=1, img=imgB[0])
+        frameB.feat, frameB.pos = fB[0], pB[0]
+        tracker = FrameTracker(tiny_model, kfs)
+        tracker.track(frameB, None)
+
+        bt = BatchTracker(tiny_model)
+        bt.init_from_keyframes(fA, pA, XA[None], CA[None])
+        out = bt.step(fB, pB)
+        assert bool(out["tracked"][0])
+        np.testing.assert_allclose(
+            np.asarray(out["poses"][0]),
+            np.asarray(frameB.T_WC),
+            rtol=1e-5,
+            atol=1e-5,
+        )
+
+
 class TestShardedServing:
     def test_dp_sharded_matches_unsharded(self, tiny_model, rng):
         """Sequences sharded over an (8, 1) dp mesh produce the SAME poses

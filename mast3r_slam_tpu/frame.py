@@ -227,6 +227,12 @@ class Keyframes:
         # host mirror of fusion counts: reading a scalar from the arena
         # costs a full link round trip per access
         self._n_host: list[float] = [0.0] * cap
+        # host mirrors of the Frame fields the "first"/"best_score"
+        # filtering modes depend on — without them a keyframe round-tripped
+        # through the arena would lose its update count/score and those
+        # modes would silently degrade to "keep the latest"
+        self._nups_host: list[int] = [0] * cap
+        self._score_host: list[Optional[float]] = [None] * cap
         self._feat: Optional[jax.Array] = None  # lazily sized [cap, S, D]
         self._pos: Optional[jax.Array] = None
         self.frame_ids: list[int] = []
@@ -258,6 +264,10 @@ class Keyframes:
         self.imgs.pop(idx)
         self._n_host.pop(idx)
         self._n_host.append(0.0)
+        self._nups_host.pop(idx)
+        self._nups_host.append(0)
+        self._score_host.pop(idx)
+        self._score_host.append(None)
         self.X = _arena_remove(self.X, idx)
         self.C = _arena_remove(self.C, idx)
         self.T_WC = _arena_remove(self.T_WC, idx)
@@ -276,6 +286,8 @@ class Keyframes:
         self.T_WC = _arena_write(self.T_WC, idx, frame.T_WC)
         self.N = _arena_write(self.N, idx, jnp.full((1, 1), float(frame.N), self.dtype))
         self._n_host[idx] = float(frame.N)
+        self._nups_host[idx] = int(frame.N_updates)
+        self._score_host[idx] = frame._score
         if frame.feat is not None:
             self._ensure_feat(frame.feat)
             self._feat = _arena_write(self._feat, idx, frame.feat)
@@ -286,7 +298,10 @@ class Keyframes:
     def __setitem__(self, idx: int, frame: Frame) -> None:
         """Write a Frame's state back into its arena slot (reference API
         surface, frame.py:187-191)."""
-        self.write_pointmap(idx, frame.X_canon, frame.C, float(frame.N))
+        self.write_pointmap(
+            idx, frame.X_canon, frame.C, float(frame.N),
+            n_updates=frame.N_updates, score=frame._score,
+        )
         self.write_pose(idx, frame.T_WC)
 
     def pop_last(self) -> None:
@@ -314,16 +329,32 @@ class Keyframes:
             N=int(self._n_host[idx]),
             K=self.K,
         )
-        f.N_updates = f.N
+        # restore the filtering-mode bookkeeping (fall back to N for slots
+        # written before these mirrors existed, e.g. old snapshots)
+        nups = self._nups_host[idx]
+        f.N_updates = nups if nups > 0 else f.N
+        f._score = self._score_host[idx]
         return f
 
     # -- arena-level ops (used by tracker/backend; no stacking copies) -----
 
-    def write_pointmap(self, idx: int, X: jax.Array, C: jax.Array, n_count: float):
+    def write_pointmap(
+        self,
+        idx: int,
+        X: jax.Array,
+        C: jax.Array,
+        n_count: float,
+        n_updates: int | None = None,
+        score: float | None = None,
+    ):
         self.X = _arena_write(self.X, idx, X.astype(self.dtype))
         self.C = _arena_write(self.C, idx, C.astype(self.dtype))
         self.N = _arena_write(self.N, idx, jnp.full((1, 1), n_count, self.dtype))
         self._n_host[idx] = float(n_count)
+        if n_updates is not None:
+            self._nups_host[idx] = int(n_updates)
+        if score is not None:
+            self._score_host[idx] = float(score)
         self.version += 1
 
     def write_pose(self, idx: int, T: jax.Array):

@@ -1318,7 +1318,10 @@ class FrameTracker:
         # Fuse tracked points back into the keyframe pointmap.
         kf = self.keyframes[kf_idx]
         kf.update_pointmap(out["Xkk"], Ckf)
-        self.keyframes.write_pointmap(kf_idx, kf.X_canon, kf.C, float(kf.N))
+        self.keyframes.write_pointmap(
+            kf_idx, kf.X_canon, kf.C, float(kf.N),
+            n_updates=kf.N_updates, score=kf._score,
+        )
 
         new_kf = min(match_frac_k, unique_frac_f) < c.match_frac_thresh
         if new_kf:

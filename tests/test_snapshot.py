@@ -111,6 +111,81 @@ class TestSnapshot:
         assert np.isfinite(np.asarray(frame.T_WC)).all()
 
 
+class TestSnapshotV2:
+    """Fields added in SNAPSHOT_VERSION 2: fitted whitening params, pending
+    backend tasks, reloc counter, keyframe filtering-mode mirrors, and the
+    img_downsample geometry guard."""
+
+    def test_whitening_params_roundtrip(self, tmp_path, tiny_model, rng):
+        import jax.numpy as jnp
+
+        from mast3r_slam_tpu.models.retrieval import RetrievalModel
+
+        set_config(_cfg())
+        ds = _static_dataset(tmp_path)
+        slam = SLAM(model=tiny_model, resolution=64)
+        slam.run(ds, max_frames=3)
+
+        # Equip the (simple-retrieval) tiny-model db with a retrieval head
+        # and fit online whitening — the state the 1024-d path reaches after
+        # `retrieval.whitening_kf` keyframes.
+        rdb = slam.retrieval_db
+        rdb.retrieval = RetrievalModel(rdb.backbone_dim, rdb.backbone_dim, seed=3)
+        rdb.use_simple = False
+        rdb._whitening_kf = 1
+        feat = jnp.asarray(
+            rng.normal(size=(12, rdb.backbone_dim)), jnp.float32
+        )
+        rdb._maybe_fit_whitening(feat)
+        assert rdb._whitening_fitted
+        snap = tmp_path / "v2.npz"
+        slam.save_state(snap)
+
+        slam2 = SLAM(model=tiny_model, resolution=64)
+        slam2.load_state(snap)
+        rdb2 = slam2.retrieval_db
+        assert rdb2._whitening_fitted and rdb2.retrieval is not None
+        np.testing.assert_allclose(
+            np.asarray(rdb2.compute_signature(feat)),
+            np.asarray(rdb.compute_signature(feat)),
+            rtol=1e-6,
+            atol=1e-6,
+        )
+
+    def test_pending_tasks_and_kf_mirrors_roundtrip(self, tmp_path, tiny_model):
+        set_config(_cfg())
+        ds = _static_dataset(tmp_path)
+        slam = SLAM(model=tiny_model, resolution=64)
+        slam.run(ds, max_frames=3)
+        slam.state.global_optimizer_tasks = [0]
+        slam.state.reloc_pending = 2
+        slam.keyframes._score_host[0] = 0.75
+        snap = tmp_path / "v2b.npz"
+        slam.save_state(snap)
+
+        slam2 = SLAM(model=tiny_model, resolution=64)
+        slam2.load_state(snap)
+        assert slam2.state.global_optimizer_tasks == [0]
+        assert slam2.state.reloc_pending == 2
+        assert slam2.keyframes._nups_host == slam.keyframes._nups_host
+        kf0 = slam2.keyframes[0]
+        assert kf0.N_updates == slam.keyframes[0].N_updates
+        assert kf0._score == 0.75
+
+    def test_img_downsample_mismatch_raises(self, tmp_path, tiny_model):
+        set_config(_cfg())
+        ds = _static_dataset(tmp_path)
+        slam = SLAM(model=tiny_model, resolution=64)
+        slam.run(ds, max_frames=2)
+        snap = tmp_path / "v2c.npz"
+        slam.save_state(snap)
+
+        set_config(_cfg({"dataset": {"img_downsample": 2}}))
+        slam2 = SLAM(model=tiny_model, resolution=64)
+        with pytest.raises(ValueError, match="img_downsample"):
+            slam2.load_state(snap)
+
+
 class TestCalibMode:
     def test_e2e_calibrated(self, tmp_path, tiny_model):
         set_config(

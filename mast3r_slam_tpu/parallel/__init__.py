@@ -21,6 +21,7 @@ from mast3r_slam_tpu.parallel.sequence import (
     jit_sequence_parallel_encode,
     sequence_parallel_encode,
 )
+from mast3r_slam_tpu.parallel import multihost
 from mast3r_slam_tpu.parallel.sharding import (
     infer_param_shardings,
     shard_params,
@@ -33,6 +34,7 @@ from mast3r_slam_tpu.parallel.train import (
 
 __all__ = [
     "make_mesh",
+    "multihost",
     "make_pipeline_mesh",
     "encoder_stage_params",
     "pipelined_encode",

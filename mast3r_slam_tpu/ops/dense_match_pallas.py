@@ -9,9 +9,16 @@ profiled 1.83 ms/frame of `reduce_sum` tap streams at 196k points on v5e
 
 This kernel tiles the image into row bands, DMAs each band plus a
 `halo`-row/column slab into VMEM **once**, and runs every tap from VMEM:
-HBM traffic for the tap loop drops ~169x to a single pass. The tap loop is
-a rolled `fori_loop` with (du, dv) offsets read from an SMEM table, so the
-Mosaic program stays small regardless of the tap count.
+HBM traffic for the tap loop drops ~169x to a single pass. The tap loop
+is structured around a Mosaic constraint discovered on-chip: dynamic
+sublane (row) offsets into VMEM refs must be provably 8-aligned, which a
+tap table cannot be. So the row shift (dv) is STATIC — the tap list is
+partitioned into consecutive runs of equal dv (preserving the exact
+global tap order, hence strict-< argmin tie-breaking), each run unrolled
+in Python — while the column shift (du) stays dynamic inside a rolled
+`fori_loop` as a native lane ROTATE (`pltpu.roll`) of the full-width row
+slab read at a static offset. 13 static run bodies x a 13-trip dynamic
+loop keeps the Mosaic program small at any tap count.
 
 Semantics: exact twin of `match_dense_window` (same tap order, same
 strict-< argmin, same bf16 streams widened to f32 for the cost, same f32
@@ -63,7 +70,6 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(
     du_ref,
-    dv_ref,
     src1,
     src2,
     x1,
@@ -74,30 +80,27 @@ def _kernel(
     band: int,
     halo: int,
     ext: int,
-    T: int,
+    runs: tuple[tuple[int, int, int], ...],
     D: int,
     P: int,
     want_hit: bool,
     desc_weight: float,
     dist_thresh: float,
-    lane_mode: str,
     fast_sum: bool,
 ):
     RE = band + 2 * ext
     SR1 = band + 2 * (ext + halo)
 
     def shifted(ref, rows, du, chs=None):
-        """ref[(chs,) rows, du+halo : du+halo+W] with a dynamic `du`.
-
-        "ds": dynamic lane-offset slice (the direct form). "roll": dynamic
-        rotate + static slice — the fallback if Mosaic rejects dynamic
-        lane-dim `pl.ds` starts (rotates are native TPU lane ops)."""
+        """ref[(chs,) rows, du+halo : du+halo+W] — `rows` is a STATIC row
+        slice (Mosaic rejects dynamic sublane offsets it cannot prove
+        8-aligned); the dynamic column shift `du` is a native lane rotate
+        of the full-width slab + static crop."""
         pre = () if chs is None else (chs,)
-        if lane_mode == "ds":
-            return ref[(*pre, rows, pl.ds(du + halo, W))]
         full = ref[(*pre, rows, slice(None))]
         wp = full.shape[-1]
-        return pltpu.roll(full, wp - (du + halo), axis=full.ndim - 1)[..., :W]
+        amt = jax.lax.rem(wp - (du + halo), wp)
+        return pltpu.roll(full, amt, axis=full.ndim - 1)[..., :W]
 
     # --- unpack outputs / scratch (order mirrors the wrapper) ---
     n_out = 2 + (1 if P else 0) + (1 if want_hit else 0)
@@ -147,46 +150,50 @@ def _kernel(
     cw = slice(halo, halo + W)  # interior columns of the Wp-wide scratches
 
     # --- pass 1: argmin over taps, with fused payload/X11 selection ---
-    def tap_body(t, _):
-        du = du_ref[0, t]
-        dv = dv_ref[0, t]
-        rows = pl.ds(dv + halo, RE)
-        r1 = shifted(s1, rows, du, chs=slice(0, 3))
-        diff = (r1 - s2[0:3]).astype(jnp.float32)
-        cost = jnp.sum(diff * diff, axis=0)
-        if desc_weight > 0:
-            d1 = shifted(s1, rows, du, chs=slice(3, 3 + D))
-            prod = d1 * s2[3:]
-            if fast_sum and D % 2 == 0:
-                # One pairwise bf16 add level before the f32 widen+sum:
-                # halves the widen/f32-add count in the kernel's hottest
-                # loop. The extra rounding is one bf16 add of two ~1/D
-                # products — the same magnitude as the bf16 product
-                # rounding both matchers already carry.
-                prod = prod[0::2] + prod[1::2]
-            sim = jnp.sum(prod.astype(jnp.float32), axis=0)
-            cost = cost - desc_weight * sim
-        ok = (
-            q_in
-            & (y_img + dv >= 0)
-            & (y_img + dv < H)
-            & (x_iota + du >= 0)
-            & (x_iota + du < W)
-        )
-        cost = jnp.where(ok, cost, BIG)
-        cost = jnp.where(cost < BIG, cost, BIG)  # NaN/overflow cap (twin parity)
-        take = cost < bc[:, cw]
-        bc[:, cw] = jnp.where(take, cost, bc[:, cw])
-        bdu[:, cw] = jnp.where(take, du, bdu[:, cw])
-        bdv[:, cw] = jnp.where(take, dv, bdv[:, cw])
-        xs = shifted(sx1, rows, du, chs=slice(None))
-        xsel[:, :, cw] = jnp.where(take[None], xs, xsel[:, :, cw])
-        if P:
-            p1 = shifted(s1, rows, du, chs=slice(3 + D, None))
-            psel[:, :, cw] = jnp.where(take[None], p1, psel[:, :, cw])
-        return 0
+    # Static dv per run (sublane offsets must be static for Mosaic); the
+    # run partition preserves the exact global tap order, so the strict-<
+    # argmin tie-breaks identically to the XLA twin.
+    for dv, t0, n in runs:
+        rows = slice(dv + halo, dv + halo + RE)
 
-    jax.lax.fori_loop(0, T, tap_body, 0)
+        def tap_body(t, _, dv=dv, rows=rows):
+            du = du_ref[0, t]
+            r1 = shifted(s1, rows, du, chs=slice(0, 3))
+            diff = (r1 - s2[0:3]).astype(jnp.float32)
+            cost = jnp.sum(diff * diff, axis=0)
+            if desc_weight > 0:
+                d1 = shifted(s1, rows, du, chs=slice(3, 3 + D))
+                prod = d1 * s2[3:]
+                if fast_sum and D % 2 == 0:
+                    # One pairwise bf16 add level before the f32 widen+sum:
+                    # halves the widen/f32-add count in the kernel's hottest
+                    # loop. The extra rounding is one bf16 add of two ~1/D
+                    # products — the same magnitude as the bf16 product
+                    # rounding both matchers already carry.
+                    prod = prod[0::2] + prod[1::2]
+                sim = jnp.sum(prod.astype(jnp.float32), axis=0)
+                cost = cost - desc_weight * sim
+            ok = (
+                q_in
+                & (y_img + dv >= 0)
+                & (y_img + dv < H)
+                & (x_iota + du >= 0)
+                & (x_iota + du < W)
+            )
+            cost = jnp.where(ok, cost, BIG)
+            cost = jnp.where(cost < BIG, cost, BIG)  # NaN cap (twin parity)
+            take = cost < bc[:, cw]
+            bc[:, cw] = jnp.where(take, cost, bc[:, cw])
+            bdu[:, cw] = jnp.where(take, du, bdu[:, cw])
+            bdv[:, cw] = jnp.where(take, dv, bdv[:, cw])
+            xs = shifted(sx1, rows, du, chs=slice(None))
+            xsel[:, :, cw] = jnp.where(take[None], xs, xsel[:, :, cw])
+            if P:
+                p1 = shifted(s1, rows, du, chs=slice(3 + D, None))
+                psel[:, :, cw] = jnp.where(take[None], p1, psel[:, :, cw])
+            return 0
+
+        jax.lax.fori_loop(t0, t0 + n, tap_body, 0)
 
     # --- occlusion gate (f32, twin of the XLA take_along_axis gate) ---
     xd = xsel[:, :, cw] - sx2[:]
@@ -212,25 +219,25 @@ def _kernel(
 
     # --- pass 3: hit = OR of inverse-shifted (win & valid) masks ---
     if want_hit:
-
-        def hit_body(t, hit):
-            du = du_ref[0, t]
-            dv = dv_ref[0, t]
+        hit = jnp.zeros((band, W), jnp.int32)
+        for dv, t0, n in runs:
             # INVERSE shift: view-2 pixel q winning tap (du, dv) claims
             # view-1 pixel q + (du, dv), so hit at view-1 (y, x) reads the
             # win mask at (y - dv, x - du) — the margins' sentinels /
             # zeroed valid make the out-of-band reads contribute nothing.
-            rows = pl.ds(ext - dv, band)
-            m = (
-                (shifted(bdu, rows, -du) == du)
-                & (shifted(bdv, rows, -du) == dv)
-                & (shifted(vext, rows, -du) > 0)
-            )
-            return hit | m.astype(jnp.int32)
+            rows = slice(ext - dv, ext - dv + band)
 
-        hit_o[0] = jax.lax.fori_loop(
-            0, T, hit_body, jnp.zeros((band, W), jnp.int32)
-        )
+            def hit_body(t, hit, dv=dv, rows=rows):
+                du = du_ref[0, t]
+                m = (
+                    (shifted(bdu, rows, -du) == du)
+                    & (shifted(bdv, rows, -du) == dv)
+                    & (shifted(vext, rows, -du) > 0)
+                )
+                return hit | m.astype(jnp.int32)
+
+            hit = jax.lax.fori_loop(t0, t0 + n, hit_body, hit)
+        hit_o[0] = hit
 
 
 _AVAILABLE: dict = {}
@@ -295,7 +302,6 @@ def pallas_matcher_available(
         "want_hit",
         "band",
         "interpret",
-        "lane_mode",
         "fast_sum",
     ),
 )
@@ -312,7 +318,6 @@ def match_dense_window_pallas(
     want_hit: bool = False,
     band: int = 64,
     interpret: bool | None = None,
-    lane_mode: str = "ds",
     fast_sum: bool = False,
 ):
     """Drop-in twin of `match_dense_window` backed by the Pallas kernel.
@@ -361,7 +366,17 @@ def match_dense_window_pallas(
         ((0, 0), (0, 0), (ext, hp - h + ext), (0, 0)),
     )
     du_arr = jnp.array([[du for du, _ in taps]], jnp.int32)
-    dv_arr = jnp.array([[dv for _, dv in taps]], jnp.int32)
+    # Partition the tap list into consecutive runs of equal dv: dv becomes
+    # a static per-run constant (Mosaic sublane-offset constraint) while
+    # preserving the global tap order exactly.
+    runs: list[tuple[int, int, int]] = []
+    i0 = 0
+    while i0 < t:
+        j = i0
+        while j < t and taps[j][1] == taps[i0][1]:
+            j += 1
+        runs.append((taps[i0][1], i0, j - i0))
+        i0 = j
 
     re_ = bh + 2 * ext
     sr1 = bh + 2 * e1
@@ -412,20 +427,18 @@ def match_dense_window_pallas(
         band=bh,
         halo=halo,
         ext=ext,
-        T=t,
+        runs=tuple(runs),
         D=d,
         P=p,
         want_hit=want_hit,
         desc_weight=desc_weight,
         dist_thresh=dist_thresh,
-        lane_mode=lane_mode,
         fast_sum=fast_sum,
     )
     outs = pl.pallas_call(
         kernel,
         grid=(b, nb),
         in_specs=[
-            pl.BlockSpec((1, t), smem, memory_space=pltpu.SMEM),
             pl.BlockSpec((1, t), smem, memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -436,7 +449,7 @@ def match_dense_window_pallas(
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(du_arr, dv_arr, src1, src2, x1, x2)
+    )(du_arr, src1, src2, x1, x2)
 
     idx = outs[0][:, :h, :].reshape(b, h * w)
     valid = (outs[1][:, :h, :] > 0).reshape(b, h * w, 1)

@@ -24,10 +24,6 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--quick", action="store_true", help="CPU-size smoke")
-    ap.add_argument(
-        "--lane-mode", default="ds", choices=["ds", "roll"],
-        help="pallas lane-shift implementation (roll = rotate fallback)",
-    )
     ap.add_argument("--band", type=int, default=64, help="pallas row-band height")
     ap.add_argument(
         "--fast-sum", action="store_true",
@@ -80,10 +76,9 @@ def main(argv=None) -> int:
     )
     t_pal = timed_chain(
         lambda *a: match_dense_window_pallas(
-            *a, lane_mode=args.lane_mode,
-            band=args.band, fast_sum=args.fast_sum, **kw
+            *a, band=args.band, fast_sum=args.fast_sum, **kw
         ),
-        f"pallas vmem-tiled lane={args.lane_mode} band={args.band}"
+        f"pallas vmem-tiled band={args.band}"
         f" fast_sum={args.fast_sum} (payload+hit)",
     )
     if t_pal is None:

@@ -63,11 +63,9 @@ def _compare(ref, ker, min_agree=0.995):
             )
 
 
-@pytest.mark.parametrize("lane_mode", ["ds", "roll"])
 @pytest.mark.parametrize("b", [1, 2])
-def test_parity_full(b, lane_mode):
-    """Payload + hit path, H a multiple of the band; both lane-shift
-    implementations (dynamic `pl.ds` start and the rotate fallback)."""
+def test_parity_full(b):
+    """Payload + hit path, H a multiple of the band."""
     h, w, d, p = 32, 48, 8, 5
     X11, X21, D11, D21 = _world(jax.random.PRNGKey(0), b, h, w, d)
     pay = jax.random.normal(jax.random.PRNGKey(9), (b, h, w, p))
@@ -75,7 +73,7 @@ def test_parity_full(b, lane_mode):
     ref = match_dense_window(X11, X21, D11, D21, payload=pay, want_hit=True, **kw)
     ker = match_dense_window_pallas(
         X11, X21, D11, D21, payload=pay, want_hit=True, band=16, interpret=True,
-        lane_mode=lane_mode, **kw
+        **kw
     )
     _compare(ref, ker)
 

@@ -10,15 +10,16 @@ profiled 1.83 ms/frame of `reduce_sum` tap streams at 196k points on v5e
 This kernel tiles the image into row bands, DMAs each band plus a
 `halo`-row/column slab into VMEM **once**, and runs every tap from VMEM:
 HBM traffic for the tap loop drops ~169x to a single pass. The tap loop
-is structured around a Mosaic constraint discovered on-chip: dynamic
-sublane (row) offsets into VMEM refs must be provably 8-aligned, which a
-tap table cannot be. So the row shift (dv) is STATIC — the tap list is
-partitioned into consecutive runs of equal dv (preserving the exact
-global tap order, hence strict-< argmin tie-breaking), each run unrolled
-in Python — while the column shift (du) stays dynamic inside a rolled
-`fori_loop` as a native lane ROTATE (`pltpu.roll`) of the full-width row
-slab read at a static offset. 13 static run bodies x a 13-trip dynamic
-loop keeps the Mosaic program small at any tap count.
+is FULLY STATIC — every tap is unrolled in Python and reads its shifted
+window as a static unaligned VMEM slice. That shape was forced by two
+Mosaic constraints probed on this toolchain (scripts/
+probe_mosaic_rotate.py): (a) dynamic sublane/lane offsets into VMEM refs
+must be provably tile-aligned, which a tap table cannot be, and (b)
+`tpu.dynamic_rotate` (and even static rotate) does not lower for bf16
+vectors at all — only f32 — so a rolled loop cannot shift the bf16
+descriptor slabs. Static unaligned slices of bf16 refs DO lower, and the
+unroll preserves the exact global tap order (hence strict-< argmin
+tie-breaking parity with the XLA twin).
 
 Semantics: exact twin of `match_dense_window` (same tap order, same
 strict-< argmin, same bf16 streams widened to f32 for the cost, same f32
@@ -69,7 +70,6 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(
-    du_ref,
     src1,
     src2,
     x1,
@@ -80,7 +80,7 @@ def _kernel(
     band: int,
     halo: int,
     ext: int,
-    runs: tuple[tuple[int, int, int], ...],
+    taps: tuple[tuple[int, int], ...],
     D: int,
     P: int,
     want_hit: bool,
@@ -92,15 +92,10 @@ def _kernel(
     SR1 = band + 2 * (ext + halo)
 
     def shifted(ref, rows, du, chs=None):
-        """ref[(chs,) rows, du+halo : du+halo+W] — `rows` is a STATIC row
-        slice (Mosaic rejects dynamic sublane offsets it cannot prove
-        8-aligned); the dynamic column shift `du` is a native lane rotate
-        of the full-width slab + static crop."""
+        """ref[(chs,) rows, du+halo : du+halo+W] — both offsets STATIC
+        (Mosaic constraint; see module docstring)."""
         pre = () if chs is None else (chs,)
-        full = ref[(*pre, rows, slice(None))]
-        wp = full.shape[-1]
-        amt = jax.lax.rem(wp - (du + halo), wp)
-        return pltpu.roll(full, amt, axis=full.ndim - 1)[..., :W]
+        return ref[(*pre, rows, slice(du + halo, du + halo + W))]
 
     # --- unpack outputs / scratch (order mirrors the wrapper) ---
     n_out = 2 + (1 if P else 0) + (1 if want_hit else 0)
@@ -150,50 +145,43 @@ def _kernel(
     cw = slice(halo, halo + W)  # interior columns of the Wp-wide scratches
 
     # --- pass 1: argmin over taps, with fused payload/X11 selection ---
-    # Static dv per run (sublane offsets must be static for Mosaic); the
-    # run partition preserves the exact global tap order, so the strict-<
+    # Fully static unroll in the exact global tap order, so the strict-<
     # argmin tie-breaks identically to the XLA twin.
-    for dv, t0, n in runs:
+    for du, dv in taps:
         rows = slice(dv + halo, dv + halo + RE)
-
-        def tap_body(t, _, dv=dv, rows=rows):
-            du = du_ref[0, t]
-            r1 = shifted(s1, rows, du, chs=slice(0, 3))
-            diff = (r1 - s2[0:3]).astype(jnp.float32)
-            cost = jnp.sum(diff * diff, axis=0)
-            if desc_weight > 0:
-                d1 = shifted(s1, rows, du, chs=slice(3, 3 + D))
-                prod = d1 * s2[3:]
-                if fast_sum and D % 2 == 0:
-                    # One pairwise bf16 add level before the f32 widen+sum:
-                    # halves the widen/f32-add count in the kernel's hottest
-                    # loop. The extra rounding is one bf16 add of two ~1/D
-                    # products — the same magnitude as the bf16 product
-                    # rounding both matchers already carry.
-                    prod = prod[0::2] + prod[1::2]
-                sim = jnp.sum(prod.astype(jnp.float32), axis=0)
-                cost = cost - desc_weight * sim
-            ok = (
-                q_in
-                & (y_img + dv >= 0)
-                & (y_img + dv < H)
-                & (x_iota + du >= 0)
-                & (x_iota + du < W)
-            )
-            cost = jnp.where(ok, cost, BIG)
-            cost = jnp.where(cost < BIG, cost, BIG)  # NaN cap (twin parity)
-            take = cost < bc[:, cw]
-            bc[:, cw] = jnp.where(take, cost, bc[:, cw])
-            bdu[:, cw] = jnp.where(take, du, bdu[:, cw])
-            bdv[:, cw] = jnp.where(take, dv, bdv[:, cw])
-            xs = shifted(sx1, rows, du, chs=slice(None))
-            xsel[:, :, cw] = jnp.where(take[None], xs, xsel[:, :, cw])
-            if P:
-                p1 = shifted(s1, rows, du, chs=slice(3 + D, None))
-                psel[:, :, cw] = jnp.where(take[None], p1, psel[:, :, cw])
-            return 0
-
-        jax.lax.fori_loop(t0, t0 + n, tap_body, 0)
+        r1 = shifted(s1, rows, du, chs=slice(0, 3))
+        diff = (r1 - s2[0:3]).astype(jnp.float32)
+        cost = jnp.sum(diff * diff, axis=0)
+        if desc_weight > 0:
+            d1 = shifted(s1, rows, du, chs=slice(3, 3 + D))
+            prod = d1 * s2[3:]
+            if fast_sum and D % 2 == 0:
+                # One pairwise bf16 add level before the f32 widen+sum:
+                # halves the widen/f32-add count in the kernel's hottest
+                # loop. The extra rounding is one bf16 add of two ~1/D
+                # products — the same magnitude as the bf16 product
+                # rounding both matchers already carry.
+                prod = prod[0::2] + prod[1::2]
+            sim = jnp.sum(prod.astype(jnp.float32), axis=0)
+            cost = cost - desc_weight * sim
+        ok = (
+            q_in
+            & (y_img + dv >= 0)
+            & (y_img + dv < H)
+            & (x_iota + du >= 0)
+            & (x_iota + du < W)
+        )
+        cost = jnp.where(ok, cost, BIG)
+        cost = jnp.where(cost < BIG, cost, BIG)  # NaN cap (twin parity)
+        take = cost < bc[:, cw]
+        bc[:, cw] = jnp.where(take, cost, bc[:, cw])
+        bdu[:, cw] = jnp.where(take, du, bdu[:, cw])
+        bdv[:, cw] = jnp.where(take, dv, bdv[:, cw])
+        xs = shifted(sx1, rows, du, chs=slice(None))
+        xsel[:, :, cw] = jnp.where(take[None], xs, xsel[:, :, cw])
+        if P:
+            p1 = shifted(s1, rows, du, chs=slice(3 + D, None))
+            psel[:, :, cw] = jnp.where(take[None], p1, psel[:, :, cw])
 
     # --- occlusion gate (f32, twin of the XLA take_along_axis gate) ---
     xd = xsel[:, :, cw] - sx2[:]
@@ -220,23 +208,18 @@ def _kernel(
     # --- pass 3: hit = OR of inverse-shifted (win & valid) masks ---
     if want_hit:
         hit = jnp.zeros((band, W), jnp.int32)
-        for dv, t0, n in runs:
+        for du, dv in taps:
             # INVERSE shift: view-2 pixel q winning tap (du, dv) claims
             # view-1 pixel q + (du, dv), so hit at view-1 (y, x) reads the
             # win mask at (y - dv, x - du) — the margins' sentinels /
             # zeroed valid make the out-of-band reads contribute nothing.
             rows = slice(ext - dv, ext - dv + band)
-
-            def hit_body(t, hit, dv=dv, rows=rows):
-                du = du_ref[0, t]
-                m = (
-                    (shifted(bdu, rows, -du) == du)
-                    & (shifted(bdv, rows, -du) == dv)
-                    & (shifted(vext, rows, -du) > 0)
-                )
-                return hit | m.astype(jnp.int32)
-
-            hit = jax.lax.fori_loop(t0, t0 + n, hit_body, hit)
+            m = (
+                (shifted(bdu, rows, -du) == du)
+                & (shifted(bdv, rows, -du) == dv)
+                & (shifted(vext, rows, -du) > 0)
+            )
+            hit = hit | m.astype(jnp.int32)
         hit_o[0] = hit
 
 
@@ -342,7 +325,11 @@ def match_dense_window_pallas(
     nb = -(-h // bh)
     hp = nb * bh
     e1 = ext + halo
-    wp = w + 2 * halo
+    # Lane width of the view-1 slabs: the dynamic column shift is a
+    # `tpu.dynamic_rotate`, which requires a 128-aligned lane count — pad
+    # right beyond the halo (the roll-right + [:W] crop never reads the
+    # extra columns).
+    wp = _round_up(w + 2 * halo, 128)
 
     # Streams: identical prep to the XLA twin (bf16 rays/desc/payload).
     rays1 = normalize_rays(X11).astype(jnp.bfloat16)
@@ -352,31 +339,19 @@ def match_dense_window_pallas(
         parts1.append(payload.astype(jnp.bfloat16))
     # [B, C, H, W] channel-leading so (rows, cols) land on (sublane, lane).
     src1 = jnp.transpose(jnp.concatenate(parts1, axis=-1), (0, 3, 1, 2))
-    src1 = jnp.pad(src1, ((0, 0), (0, 0), (e1, hp - h + e1), (halo, halo)))
+    src1 = jnp.pad(src1, ((0, 0), (0, 0), (e1, hp - h + e1), (halo, wp - w - halo)))
     src2 = jnp.transpose(
         jnp.concatenate([rays2, D21.astype(jnp.bfloat16)], axis=-1), (0, 3, 1, 2)
     )
     src2 = jnp.pad(src2, ((0, 0), (0, 0), (ext, hp - h + ext), (0, 0)))
     x1 = jnp.pad(
         jnp.transpose(X11.astype(jnp.float32), (0, 3, 1, 2)),
-        ((0, 0), (0, 0), (e1, hp - h + e1), (halo, halo)),
+        ((0, 0), (0, 0), (e1, hp - h + e1), (halo, wp - w - halo)),
     )
     x2 = jnp.pad(
         jnp.transpose(X21.astype(jnp.float32), (0, 3, 1, 2)),
         ((0, 0), (0, 0), (ext, hp - h + ext), (0, 0)),
     )
-    du_arr = jnp.array([[du for du, _ in taps]], jnp.int32)
-    # Partition the tap list into consecutive runs of equal dv: dv becomes
-    # a static per-run constant (Mosaic sublane-offset constraint) while
-    # preserving the global tap order exactly.
-    runs: list[tuple[int, int, int]] = []
-    i0 = 0
-    while i0 < t:
-        j = i0
-        while j < t and taps[j][1] == taps[i0][1]:
-            j += 1
-        runs.append((taps[i0][1], i0, j - i0))
-        i0 = j
 
     re_ = bh + 2 * ext
     sr1 = bh + 2 * e1
@@ -419,7 +394,6 @@ def match_dense_window_pallas(
         scratch.append(pltpu.VMEM((p, re_, wp), jnp.bfloat16))
     scratch.append(pltpu.SemaphoreType.DMA((4,)))
 
-    smem = lambda bi, ii: (0, 0)  # noqa: E731 — tap tables: one block
     kernel = functools.partial(
         _kernel,
         H=h,
@@ -427,7 +401,7 @@ def match_dense_window_pallas(
         band=bh,
         halo=halo,
         ext=ext,
-        runs=tuple(runs),
+        taps=tuple(taps),
         D=d,
         P=p,
         want_hit=want_hit,
@@ -439,7 +413,6 @@ def match_dense_window_pallas(
         kernel,
         grid=(b, nb),
         in_specs=[
-            pl.BlockSpec((1, t), smem, memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -449,7 +422,7 @@ def match_dense_window_pallas(
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(du_arr, src1, src2, x1, x2)
+    )(src1, src2, x1, x2)
 
     idx = outs[0][:, :h, :].reshape(b, h * w)
     valid = (outs[1][:, :h, :] > 0).reshape(b, h * w, 1)

@@ -31,9 +31,14 @@ Band/halo geometry (all static):
   halo  = radius * max(dilations)        # max |du|, |dv|
   ext   = halo if want_hit else 0        # winners computed for ext rows
                                          # beyond the band so the inverse-
-                                         # shift hit OR stays band-local
+                                         # shift hit OR stays band-local;
+                                         # rounded up to a multiple of 4
+  hrows = halo rounded up to 4           # slab row margin beyond RE
   RE    = band + 2*ext                   # winner rows per grid step
-  SR1   = band + 2*(ext + halo)          # view-1 slab rows (tap reach)
+  SR1   = RE + 2*hrows                   # view-1 slab rows (tap reach)
+The round-ups keep RE and SR1 multiples of the (8, 128) sublane tile —
+Mosaic requires DMA slice SHAPES tile-aligned (offsets may be unaligned
+when static).
 View-1 inputs are pre-padded by (ext + halo) rows / halo cols so every DMA
 slice is in-bounds with static sizes; out-of-image taps are masked to the
 BIG sentinel in-kernel (matching the XLA twin's padding semantics).
@@ -79,6 +84,7 @@ def _kernel(
     W: int,
     band: int,
     halo: int,
+    hrows: int,
     ext: int,
     taps: tuple[tuple[int, int], ...],
     D: int,
@@ -89,7 +95,7 @@ def _kernel(
     fast_sum: bool,
 ):
     RE = band + 2 * ext
-    SR1 = band + 2 * (ext + halo)
+    SR1 = RE + 2 * hrows
 
     def shifted(ref, rows, du, chs=None):
         """ref[(chs,) rows, du+halo : du+halo+W] — both offsets STATIC
@@ -148,7 +154,7 @@ def _kernel(
     # Fully static unroll in the exact global tap order, so the strict-<
     # argmin tie-breaks identically to the XLA twin.
     for du, dv in taps:
-        rows = slice(dv + halo, dv + halo + RE)
+        rows = slice(dv + hrows, dv + hrows + RE)
         r1 = shifted(s1, rows, du, chs=slice(0, 3))
         diff = (r1 - s2[0:3]).astype(jnp.float32)
         cost = jnp.sum(diff * diff, axis=0)
@@ -320,15 +326,17 @@ def match_dense_window_pallas(
     halo = radius * max(dilations)
     if halo > MAX_HALO:
         raise ValueError(f"halo {halo} > {MAX_HALO}: use the XLA matcher")
-    ext = halo if want_hit else 0
+    # Row extents rounded to multiples of 4 so RE / SR1 are multiples of
+    # the sublane tile (8) — Mosaic requires DMA slice shapes tile-aligned.
+    ext = _round_up(halo, 4) if want_hit else 0
+    hrows = _round_up(halo, 4)
     bh = min(band, _round_up(h, 16))
     nb = -(-h // bh)
     hp = nb * bh
-    e1 = ext + halo
-    # Lane width of the view-1 slabs: the dynamic column shift is a
-    # `tpu.dynamic_rotate`, which requires a 128-aligned lane count — pad
-    # right beyond the halo (the roll-right + [:W] crop never reads the
-    # extra columns).
+    e1 = ext + hrows
+    # Lane width of the view-1 slabs: padded to a multiple of 128 (lane
+    # tile); static column slices may start unaligned but full-slab ops
+    # want native width.
     wp = _round_up(w + 2 * halo, 128)
 
     # Streams: identical prep to the XLA twin (bf16 rays/desc/payload).
@@ -354,7 +362,7 @@ def match_dense_window_pallas(
     )
 
     re_ = bh + 2 * ext
-    sr1 = bh + 2 * e1
+    sr1 = re_ + 2 * hrows
     c1 = 3 + d + p
     c2 = 3 + d
 
@@ -400,6 +408,7 @@ def match_dense_window_pallas(
         W=w,
         band=bh,
         halo=halo,
+        hrows=hrows,
         ext=ext,
         taps=tuple(taps),
         D=d,

@@ -9,17 +9,27 @@ profiled 1.83 ms/frame of `reduce_sum` tap streams at 196k points on v5e
 
 This kernel tiles the image into row bands, DMAs each band plus a
 `halo`-row/column slab into VMEM **once**, and runs every tap from VMEM:
-HBM traffic for the tap loop drops ~169x to a single pass. The tap loop
-is FULLY STATIC — every tap is unrolled in Python and reads its shifted
-window as a static unaligned VMEM slice. That shape was forced by two
-Mosaic constraints probed on this toolchain (scripts/
-probe_mosaic_rotate.py): (a) dynamic sublane/lane offsets into VMEM refs
-must be provably tile-aligned, which a tap table cannot be, and (b)
-`tpu.dynamic_rotate` (and even static rotate) does not lower for bf16
-vectors at all — only f32 — so a rolled loop cannot shift the bf16
-descriptor slabs. Static unaligned slices of bf16 refs DO lower, and the
-unroll preserves the exact global tap order (hence strict-< argmin
-tie-breaking parity with the XLA twin).
+HBM traffic for the tap loop drops ~169x to a single pass. The tap-loop
+shape is forced by Mosaic constraints probed on this toolchain
+(scripts/probe_mosaic_rotate.py):
+  (a) dynamic sublane/lane offsets into VMEM refs must be provably
+      tile-aligned — a tap table cannot be;
+  (b) `tpu.dynamic_rotate` lowers for 32-bit element types only (bf16
+      rotates, even static, fail);
+  (c) DMA slice SHAPES must be sublane-tile-aligned (offsets may be
+      unaligned when static);
+  (d) a fully static 169-tap unroll compiles into a Mosaic program so
+      large the remote compiler runs for >1 h — disqualifying for the
+      probe-gated `auto` dispatch.
+So: the row shift (dv) is STATIC — the tap list is partitioned into
+consecutive runs of equal dv (preserving the exact global tap order,
+hence strict-< argmin tie-breaking), each run a small unrolled body —
+and the column shift (du) is DYNAMIC inside a rolled `fori_loop`, done
+as an f32 `pltpu.roll` with an exact bf16 round-trip: bf16 -> f32 is
+lossless, the rotate only moves lanes, and f32 -> bf16 of a bf16-valued
+float is exact, so the bf16 arithmetic that follows is bit-identical to
+the XLA twin's. The per-dv slabs are widened to f32 once and reused by
+all du taps of that run.
 
 Semantics: exact twin of `match_dense_window` (same tap order, same
 strict-< argmin, same bf16 streams widened to f32 for the cost, same f32
@@ -75,6 +85,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(
+    du_ref,
     src1,
     src2,
     x1,
@@ -86,7 +97,7 @@ def _kernel(
     halo: int,
     hrows: int,
     ext: int,
-    taps: tuple[tuple[int, int], ...],
+    runs: tuple[tuple[int, int, int], ...],
     D: int,
     P: int,
     want_hit: bool,
@@ -98,10 +109,21 @@ def _kernel(
     SR1 = RE + 2 * hrows
 
     def shifted(ref, rows, du, chs=None):
-        """ref[(chs,) rows, du+halo : du+halo+W] — both offsets STATIC
-        (Mosaic constraint; see module docstring)."""
+        """ref[(chs,) rows, du+halo : du+halo+W] — STATIC row slice,
+        DYNAMIC column shift as an f32 lane rotate + static crop.
+
+        bf16 refs take an exact f32 round-trip around the rotate (Mosaic
+        lowers `dynamic_rotate` for 32-bit elements only); the caller gets
+        back the original dtype, bit-identical to a direct shifted read."""
         pre = () if chs is None else (chs,)
-        return ref[(*pre, rows, slice(du + halo, du + halo + W))]
+        full = ref[(*pre, rows, slice(None))]
+        dt = full.dtype
+        if dt != jnp.float32:
+            full = full.astype(jnp.float32)
+        wp = full.shape[-1]
+        amt = jax.lax.rem(wp - (du + halo), wp)
+        out = pltpu.roll(full, amt, axis=full.ndim - 1)[..., :W]
+        return out if dt == jnp.float32 else out.astype(dt)
 
     # --- unpack outputs / scratch (order mirrors the wrapper) ---
     n_out = 2 + (1 if P else 0) + (1 if want_hit else 0)
@@ -130,9 +152,9 @@ def _kernel(
     # Init accumulators while the DMAs fly. Margins (the halo columns) keep
     # the sentinel so pass-3's shifted reads never see a fake winner.
     bc[:] = jnp.full(bc.shape, BIG, jnp.float32)
-    bdu[:] = jnp.full(bdu.shape, _SENTINEL, jnp.int32)
-    bdv[:] = jnp.full(bdv.shape, _SENTINEL, jnp.int32)
-    vext[:] = jnp.zeros(vext.shape, jnp.int32)
+    bdu[:] = jnp.full(bdu.shape, _SENTINEL, jnp.float32)
+    bdv[:] = jnp.full(bdv.shape, _SENTINEL, jnp.float32)
+    vext[:] = jnp.zeros(vext.shape, jnp.float32)
     xsel[:] = jnp.zeros(xsel.shape, jnp.float32)
     if P:
         psel[:] = jnp.zeros(psel.shape, jnp.bfloat16)
@@ -151,81 +173,91 @@ def _kernel(
     cw = slice(halo, halo + W)  # interior columns of the Wp-wide scratches
 
     # --- pass 1: argmin over taps, with fused payload/X11 selection ---
-    # Fully static unroll in the exact global tap order, so the strict-<
+    # Static dv per run body, dynamic du inside a rolled fori_loop; the
+    # run partition preserves the exact global tap order, so the strict-<
     # argmin tie-breaks identically to the XLA twin.
-    for du, dv in taps:
+    for dv, t0, n in runs:
         rows = slice(dv + hrows, dv + hrows + RE)
-        r1 = shifted(s1, rows, du, chs=slice(0, 3))
-        diff = (r1 - s2[0:3]).astype(jnp.float32)
-        cost = jnp.sum(diff * diff, axis=0)
-        if desc_weight > 0:
-            d1 = shifted(s1, rows, du, chs=slice(3, 3 + D))
-            prod = d1 * s2[3:]
-            if fast_sum and D % 2 == 0:
-                # One pairwise bf16 add level before the f32 widen+sum:
-                # halves the widen/f32-add count in the kernel's hottest
-                # loop. The extra rounding is one bf16 add of two ~1/D
-                # products — the same magnitude as the bf16 product
-                # rounding both matchers already carry.
-                prod = prod[0::2] + prod[1::2]
-            sim = jnp.sum(prod.astype(jnp.float32), axis=0)
-            cost = cost - desc_weight * sim
-        ok = (
-            q_in
-            & (y_img + dv >= 0)
-            & (y_img + dv < H)
-            & (x_iota + du >= 0)
-            & (x_iota + du < W)
-        )
-        cost = jnp.where(ok, cost, BIG)
-        cost = jnp.where(cost < BIG, cost, BIG)  # NaN cap (twin parity)
-        take = cost < bc[:, cw]
-        bc[:, cw] = jnp.where(take, cost, bc[:, cw])
-        bdu[:, cw] = jnp.where(take, du, bdu[:, cw])
-        bdv[:, cw] = jnp.where(take, dv, bdv[:, cw])
-        xs = shifted(sx1, rows, du, chs=slice(None))
-        xsel[:, :, cw] = jnp.where(take[None], xs, xsel[:, :, cw])
-        if P:
-            p1 = shifted(s1, rows, du, chs=slice(3 + D, None))
-            psel[:, :, cw] = jnp.where(take[None], p1, psel[:, :, cw])
+        ok_dv = q_in & (y_img + dv >= 0) & (y_img + dv < H)
+
+        def tap_body(t, _, dv=dv, rows=rows, ok_dv=ok_dv):
+            du = du_ref[0, t]
+            r1 = shifted(s1, rows, du, chs=slice(0, 3))
+            diff = (r1 - s2[0:3]).astype(jnp.float32)
+            cost = jnp.sum(diff * diff, axis=0)
+            if desc_weight > 0:
+                d1 = shifted(s1, rows, du, chs=slice(3, 3 + D))
+                prod = d1 * s2[3:]
+                if fast_sum and D % 2 == 0:
+                    # One pairwise bf16 add level before the f32 widen+sum:
+                    # halves the widen/f32-add count in the kernel's hottest
+                    # loop. The extra rounding is one bf16 add of two ~1/D
+                    # products — the same magnitude as the bf16 product
+                    # rounding both matchers already carry.
+                    prod = prod[0::2] + prod[1::2]
+                sim = jnp.sum(prod.astype(jnp.float32), axis=0)
+                cost = cost - desc_weight * sim
+            ok = ok_dv & (x_iota + du >= 0) & (x_iota + du < W)
+            cost = jnp.where(ok, cost, BIG)
+            cost = jnp.where(cost < BIG, cost, BIG)  # NaN cap (twin parity)
+            take = cost < bc[:, cw]
+            bc[:, cw] = jnp.where(take, cost, bc[:, cw])
+            # Winner offsets live as f32 (exactly representable small ints)
+            # so the hit pass can rotate them — dynamic_rotate is
+            # 32-bit-float-only on this toolchain.
+            bdu[:, cw] = jnp.where(take, du.astype(jnp.float32), bdu[:, cw])
+            bdv[:, cw] = jnp.where(take, jnp.float32(dv), bdv[:, cw])
+            xs = shifted(sx1, rows, du, chs=slice(None))
+            xsel[:, :, cw] = jnp.where(take[None], xs, xsel[:, :, cw])
+            if P:
+                p1 = shifted(s1, rows, du, chs=slice(3 + D, None))
+                psel[:, :, cw] = jnp.where(take[None], p1, psel[:, :, cw])
+            return 0
+
+        jax.lax.fori_loop(t0, t0 + n, tap_body, 0)
 
     # --- occlusion gate (f32, twin of the XLA take_along_axis gate) ---
     xd = xsel[:, :, cw] - sx2[:]
     dist2 = jnp.sum(xd * xd, axis=0)
     valid_e = (bc[:, cw] < BIG) & (dist2 < dist_thresh * dist_thresh) & q_in
-    vext[:, cw] = valid_e.astype(jnp.int32)
+    vext[:, cw] = valid_e.astype(jnp.float32)
 
     # --- central-band outputs ---
     cr = slice(ext, ext + band)
     yc = row0 + jax.lax.broadcasted_iota(jnp.int32, (band, W), 0)
     xc = jax.lax.broadcasted_iota(jnp.int32, (band, W), 1)
-    duc = bdu[cr, cw]
-    dvc = bdv[cr, cw]
+    duc = bdu[cr, cw].astype(jnp.int32)  # f32-held small ints: exact
+    dvc = bdv[cr, cw].astype(jnp.int32)
     matched = bc[cr, cw] < BIG
     duc = jnp.where(matched, duc, 0)  # unmatched -> identity (twin parity)
     dvc = jnp.where(matched, dvc, 0)
     u = jnp.clip(xc + duc, 0, W - 1)
     v = jnp.clip(yc + dvc, 0, H - 1)
     idx_o[0] = v * W + u
-    valid_o[0] = vext[cr, cw]
+    valid_o[0] = vext[cr, cw].astype(jnp.int32)
     if P:
         pay_o[0] = psel[:, cr, cw]
 
     # --- pass 3: hit = OR of inverse-shifted (win & valid) masks ---
     if want_hit:
         hit = jnp.zeros((band, W), jnp.int32)
-        for du, dv in taps:
+        for dv, t0, n in runs:
             # INVERSE shift: view-2 pixel q winning tap (du, dv) claims
             # view-1 pixel q + (du, dv), so hit at view-1 (y, x) reads the
             # win mask at (y - dv, x - du) — the margins' sentinels /
             # zeroed valid make the out-of-band reads contribute nothing.
             rows = slice(ext - dv, ext - dv + band)
-            m = (
-                (shifted(bdu, rows, -du) == du)
-                & (shifted(bdv, rows, -du) == dv)
-                & (shifted(vext, rows, -du) > 0)
-            )
-            hit = hit | m.astype(jnp.int32)
+
+            def hit_body(t, hit, dv=dv, rows=rows):
+                du = du_ref[0, t]
+                m = (
+                    (shifted(bdu, rows, -du) == du.astype(jnp.float32))
+                    & (shifted(bdv, rows, -du) == jnp.float32(dv))
+                    & (shifted(vext, rows, -du) > 0)
+                )
+                return hit | m.astype(jnp.int32)
+
+            hit = jax.lax.fori_loop(t0, t0 + n, hit_body, hit)
         hit_o[0] = hit
 
 
@@ -335,9 +367,20 @@ def match_dense_window_pallas(
     hp = nb * bh
     e1 = ext + hrows
     # Lane width of the view-1 slabs: padded to a multiple of 128 (lane
-    # tile); static column slices may start unaligned but full-slab ops
-    # want native width.
+    # tile) — `tpu.dynamic_rotate` requires a native lane count.
     wp = _round_up(w + 2 * halo, 128)
+    # Tap table: global SMEM du list + static (dv, start, count) runs of
+    # consecutive equal dv, preserving the global tap order exactly.
+    du_arr = jnp.array([[du for du, _ in taps]], jnp.int32)
+    runs_l: list[tuple[int, int, int]] = []
+    i0 = 0
+    while i0 < t:
+        j = i0
+        while j < t and taps[j][1] == taps[i0][1]:
+            j += 1
+        runs_l.append((taps[i0][1], i0, j - i0))
+        i0 = j
+    runs = tuple(runs_l)
 
     # Streams: identical prep to the XLA twin (bf16 rays/desc/payload).
     rays1 = normalize_rays(X11).astype(jnp.bfloat16)
@@ -393,10 +436,10 @@ def match_dense_window_pallas(
         pltpu.VMEM((3, sr1, wp), jnp.float32),  # sx1
         pltpu.VMEM((3, re_, w), jnp.float32),  # sx2
         pltpu.VMEM((re_, wp), jnp.float32),  # best cost
-        pltpu.VMEM((re_, wp), jnp.int32),  # best du
-        pltpu.VMEM((re_, wp), jnp.int32),  # best dv
+        pltpu.VMEM((re_, wp), jnp.float32),  # best du (f32-held ints)
+        pltpu.VMEM((re_, wp), jnp.float32),  # best dv (f32-held ints)
         pltpu.VMEM((3, re_, wp), jnp.float32),  # selected X11
-        pltpu.VMEM((re_, wp), jnp.int32),  # valid at ext rows
+        pltpu.VMEM((re_, wp), jnp.float32),  # valid at ext rows
     ]
     if p:
         scratch.append(pltpu.VMEM((p, re_, wp), jnp.bfloat16))
@@ -410,7 +453,7 @@ def match_dense_window_pallas(
         halo=halo,
         hrows=hrows,
         ext=ext,
-        taps=tuple(taps),
+        runs=runs,
         D=d,
         P=p,
         want_hit=want_hit,
@@ -422,6 +465,7 @@ def match_dense_window_pallas(
         kernel,
         grid=(b, nb),
         in_specs=[
+            pl.BlockSpec((1, t), lambda bi, ii: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -431,7 +475,7 @@ def match_dense_window_pallas(
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(src1, src2, x1, x2)
+    )(du_arr, src1, src2, x1, x2)
 
     idx = outs[0][:, :h, :].reshape(b, h * w)
     valid = (outs[1][:, :h, :] > 0).reshape(b, h * w, 1)

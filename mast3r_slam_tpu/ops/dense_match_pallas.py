@@ -1,6 +1,15 @@
 """VMEM-tiled dense cost-volume matcher: the Pallas TPU kernel twin.
 
-Why this kernel exists: the XLA formulation (`ops/dense_match.py`) is
+ON-CHIP VERDICT (v5e, 384x512, d=24, radius 6, payload+hit, chained+fetch
+protocol): this kernel measures 6.47 ms/call vs the XLA twin's 3.41 —
+the XLA shifted-tap formulation STAYS the default (`matching.dense_kernel:
+xla`). The HBM savings the tiling buys are more than repaid in VPU work by
+the f32 rotate round-trip that Mosaic's shift constraints force (below);
+the kernel is kept as the documented exploration and as a working example
+of the constraint envelope. Same lesson as the round-2 flash-attention
+finding: hand kernels win layout problems, not fusion problems.
+
+Why this kernel was built: the XLA formulation (`ops/dense_match.py`) is
 HBM-bandwidth-bound, not compute-bound. Each of the 169 shifted-tap passes
 re-streams the full bf16 descriptor/ray images from HBM because XLA cannot
 keep a shifted operand resident across separately-fused tap passes:

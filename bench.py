@@ -112,7 +112,10 @@ def main() -> int:
     set_config(
         Config.from_dict(
             {
-                "runtime": {"keyframe_capacity": 32},
+                # tanh gelu: the deployment-config default (configs/base.yaml)
+                # — 1.7 ms/frame cheaper than exact erf on v5e, sub-bf16-ulp
+                # deviation (docs/PLAN.md A/B matrix)
+                "runtime": {"keyframe_capacity": 32, "gelu_impl": "tanh"},
                 "local_opt": {"max_edges": 32},
                 "matching": {
                     # gather-free dense cost-volume matcher (ops/dense_match):

@@ -218,6 +218,32 @@ class RuntimeConfig:
     # the promotion-window overhead differs. Off until on-chip numbers land.
     window_spec_decode: bool = False
     window_decode_microbatch: int = 4
+    # Hoist the window's ViT-L encode into ONE batched B=K pass before the
+    # unrolled chain (encoder weights ride HBM once per window) vs encoding
+    # each frame inline inside the chain. Numerically identical — A/B'd on
+    # v5e (K=8, ViT-L bf16): inline 20.35 ms/frame vs batched 23.41. The
+    # batched pass materializes [K,16,768,768] f32 attention scores (302 MB
+    # per block) that XLA tiles/fuses fine at B=1, so the weight-streaming
+    # saving is swamped. window_spec_decode requires the batched features
+    # and forces the hoist back on.
+    window_batched_encode: bool = False
+    # Attention implementation: "auto" = XLA-fused below FLASH_MIN_KV
+    # tokens, Pallas flash kernel above (the measured B=1 rule);
+    # "xla"/"flash" force one path for on-chip A/Bs (the batched window
+    # encode multiplies the score-matrix footprint by K, which can flip
+    # the winner).
+    attention_impl: str = "auto"
+    # Materialize gelu outputs behind an optimization_barrier so the erf
+    # doesn't fuse into the down-projection matmul's operand load (fc2
+    # matmuls measure 38-59% of their fc1 siblings' throughput on v5e
+    # when it does). Exact semantics; default decided by on-chip A/B.
+    gelu_barrier: bool = False
+    # "erf" = exact gelu (upstream torch nn.GELU); "tanh" = the tanh
+    # approximation — within ~1 bf16 ulp of erf everywhere, measurably
+    # cheaper on the VPU (the erf costs ~2.1 ms/frame at ViT-L scale).
+    # Default erf: checkpoint-parity first; flip per-deployment once the
+    # e2e oracle + torch-twin tolerances are re-verified under tanh.
+    gelu_impl: str = "erf"
     # Keyframe eviction when the arena is full: "covisibility" drops the
     # lowest-edge-degree keyframe outside the protected set (gauge anchors
     # + the most recent `eviction_protect`); "off" restores the hard

@@ -218,7 +218,14 @@ class LocalFeaturesHead(nn.Module):
         x = jnp.concatenate([enc_tokens.astype(dec_tokens.dtype), dec_tokens], axis=-1)
         idim = x.shape[-1]
         h = nn.Dense(int(self.hidden_factor * idim), dtype=self.dtype, name="fc1")(x)
-        h = nn.gelu(h, approximate=False)
+        from mast3r_slam_tpu.models.vit import _gelu
+
+        h = _gelu(h)
+        # Deliberately NOT behind _maybe_gelu_barrier: measured on v5e, the
+        # barrier HELPS the encoder/decoder Mlp fc2 (2.05->0.91 / 1.46->0.49
+        # ms/frame) but HURTS this fc2 (1.43->3.81 ms/frame, K=7168
+        # contraction) — XLA's fused form wins here, so the knob is scoped
+        # to the transformer MLPs (docs/PLAN.md A/B matrix).
         # fc2 + pixel shuffle run in the model compute dtype: fc2 is the
         # single largest dot_general in the fused tracking step and the
         # shuffle's transpose is pure HBM traffic, so bf16 here halves both

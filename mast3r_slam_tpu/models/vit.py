@@ -87,9 +87,52 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = _gelu(x)
+        x = _maybe_gelu_barrier(x)
         x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
         return x
+
+
+def _gelu(x):
+    """Exact-erf gelu (upstream torch nn.GELU semantics) or the tanh
+    approximation, per runtime.gelu_impl.
+
+    Why a knob: profiled on v5e, the exact erf costs ~2.1 ms/frame of VPU
+    transcendental work across encoder+decoder MLPs (fc1/fc2 matmuls run
+    at 38-59% MXU whichever side the erf fuses into — moving it just moves
+    the tax). In bf16 activations the tanh form is within ~1 ulp of erf
+    everywhere that matters (max abs deviation 4.7e-4 at |x|=2.7, where
+    the bf16 ulp is already 7.8e-3), so "tanh" trades bit-identity in f32
+    for bf16-level identity at a measured VPU saving."""
+    impl = "erf"
+    try:
+        from mast3r_slam_tpu.config import get_config
+
+        impl = get_config().runtime.gelu_impl
+    except Exception:
+        pass
+    return nn.gelu(x, approximate=(impl == "tanh"))
+
+
+def _maybe_gelu_barrier(x):
+    """Optionally materialize the gelu output before the down-projection.
+
+    Profiled on v5e: every fc2-style matmul that consumes the exact-erf
+    gelu runs at 38-59% of the throughput of its identically-sized fc1/qkv
+    siblings (encoder fc2 75 TF/s vs fc1 178 TF/s) — XLA fuses the erf
+    into fc2's operand load and the VPU transcendental starves the MXU.
+    An optimization_barrier forces the gelu to materialize (ideally fused
+    into fc1's epilogue), letting fc2 stream plain bf16. Exact semantics:
+    same math, only scheduling changes. Gated by runtime.gelu_barrier for
+    the on-chip A/B."""
+    try:
+        from mast3r_slam_tpu.config import get_config
+
+        if not get_config().runtime.gelu_barrier:
+            return x
+    except Exception:
+        return x
+    return jax.lax.optimization_barrier(x)
 
 
 class Attention(nn.Module):

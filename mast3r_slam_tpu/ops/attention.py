@@ -164,7 +164,23 @@ def attention(
 ) -> jax.Array:
     """Dispatch: XLA-fused attention for short sequences (the ViT regime —
     measurably faster, see FLASH_MIN_KV note), Pallas flash kernel on TPU
-    for long ones (padded K/V rows are masked in-kernel), jnp twin off-TPU."""
-    if jax.default_backend() == "tpu" and k.shape[-2] >= FLASH_MIN_KV:
+    for long ones (padded K/V rows are masked in-kernel), jnp twin off-TPU.
+
+    `runtime.attention_impl` overrides the auto rule ("xla" | "flash") for
+    on-chip A/Bs — the B=1 measurement behind FLASH_MIN_KV does not
+    automatically transfer to the batched B=K window encode, where the
+    score matrix is K x larger and the kernel's grid has K x the rows."""
+    mode = "auto"
+    try:  # config is optional here: ops/ stays importable standalone
+        from mast3r_slam_tpu.config import get_config
+
+        mode = get_config().runtime.attention_impl
+    except Exception:
+        pass
+    if mode == "flash" or (
+        mode == "auto"
+        and jax.default_backend() == "tpu"
+        and k.shape[-2] >= FLASH_MIN_KV
+    ):
         return flash_attention(q, k, v, scale)
     return attention_xla(q, k, v, scale)

@@ -550,15 +550,24 @@ def _make_fused_track_chain_scan(
     ):
         if imgs.dtype == jnp.uint8:
             imgs = imgs.astype(jnp.float32) / 255.0
+        rt = get_config().runtime
         # ONE batched ViT-L encode for the whole window: each frame's
         # encode is independent of the chain state (only decode consumes
         # the keyframe side), so hoisting it out of the sequential chain
         # turns K weight-streaming B=1 passes into one B=K pass — the
         # encoder's 300M bf16 params ride HBM once per window and the
         # [S, D] matmuls run at K x the M dimension (MXU utilization).
-        feat_all, pos_all = model.net.apply(
-            params, imgs * 2.0 - 1.0, method=MASt3RNet.encode
+        # Gated (runtime.window_batched_encode) for the on-chip A/B vs
+        # inline per-frame encodes; spec decode consumes the batched
+        # features so it forces the hoist.
+        batched_encode = rt.window_batched_encode or (
+            rt.window_spec_decode and not use_calib
         )
+        feat_all = pos_all = None
+        if batched_encode:
+            feat_all, pos_all = model.net.apply(
+                params, imgs * 2.0 - 1.0, method=MASt3RNet.encode
+            )
 
         # Speculative batched decode (runtime.window_spec_decode): all K
         # frames against the WINDOW-START keyframe in one pass — decoder +
@@ -567,7 +576,6 @@ def _make_fused_track_chain_scan(
         # transients (v5e HLO-temp ceiling, same fix as serving). Exact:
         # frames after an on-device promotion fall back to live decodes
         # via the per-frame lax.cond in `body`.
-        rt = get_config().runtime
         spec_f_all = spec_k_all = None
         # (calib mode keeps per-frame decodes: the decode itself is
         # calib-independent, but the calib window path has no scan-parity
@@ -618,10 +626,17 @@ def _make_fused_track_chain_scan(
         )
 
         def step(st, xs):
-            feat_f, pos_f, sf, sk = xs
+            if batched_encode:
+                feat_f, pos_f, sf, sk = xs
+                feat_f, pos_f = feat_f[None], pos_f[None]
+            else:
+                img_f, sf, sk = xs
+                feat_f, pos_f = model.net.apply(
+                    params, img_f[None] * 2.0 - 1.0, method=MASt3RNet.encode
+                )
             (fk, pk, idx, X, C, N, Tp, Tk), ok = st
             out = step_fn(
-                params, feat_f[None], pos_f[None],
+                params, feat_f, pos_f,
                 fk, pk, idx, X, C, N, Tp, Tk, K,
                 spec_f=sf, spec_k=sk, spec_ok=ok,
             )
@@ -646,9 +661,13 @@ def _make_fused_track_chain_scan(
         # duplicated at the jaxpr level — a Python loop re-traces the
         # 686M-param body K times, which costs minutes of host time per
         # process even when the XLA compile itself is cache-served.
+        xs = (
+            (feat_all, pos_all, spec_f_all, spec_k_all)
+            if batched_encode
+            else (imgs, spec_f_all, spec_k_all)
+        )
         (state2, _), outs = jax.lax.scan(
-            step, state, (feat_all, pos_all, spec_f_all, spec_k_all),
-            unroll=imgs.shape[0],
+            step, state, xs, unroll=imgs.shape[0],
         )
         outs["final"] = dict(zip(_STATE, state2))
         return outs

@@ -87,6 +87,24 @@ def main() -> int:
         "--dense-kernel", default=None, choices=["xla", "pallas", "auto"],
         help="override matching.dense_kernel (pallas = VMEM-tiled matcher)",
     )
+    ap.add_argument(
+        "--attention", default=None, choices=["auto", "xla", "flash"],
+        help="override runtime.attention_impl for the A/B",
+    )
+    ap.add_argument(
+        "--gelu", default=None, choices=["erf", "tanh"],
+        help="override runtime.gelu_impl for the A/B",
+    )
+    ap.add_argument(
+        "--gelu-barrier", action="store_true",
+        help="materialize gelu outputs (break erf-into-fc2 fusion) for "
+        "the A/B",
+    )
+    ap.add_argument(
+        "--no-batched-encode", action="store_true",
+        help="disable the hoisted B=K window encode (per-frame inline "
+        "encodes inside the chain) for the A/B",
+    )
     args = ap.parse_args()
 
     import jax
@@ -107,7 +125,8 @@ def main() -> int:
         set_config(
             Config.from_dict(
                 {
-                    "runtime": {"keyframe_capacity": 32},
+                    "runtime": {"keyframe_capacity": 32,
+                                "gelu_impl": "tanh"},
                     "local_opt": {"max_edges": 32},
                     "matching": {"method": "dense", "dist_thresh": 1e6},
                     "tracking": {
@@ -123,6 +142,14 @@ def main() -> int:
         live_cfg.runtime.window_spec_decode = True
     if args.dense_kernel:
         live_cfg.matching.dense_kernel = args.dense_kernel
+    if args.no_batched_encode:
+        live_cfg.runtime.window_batched_encode = False
+    if args.attention:
+        live_cfg.runtime.attention_impl = args.attention
+    if args.gelu_barrier:
+        live_cfg.runtime.gelu_barrier = True
+    if args.gelu:
+        live_cfg.runtime.gelu_impl = args.gelu
 
     t0 = time.time()
     model = MASt3RModel.create(resolution=512)

@@ -43,23 +43,37 @@ def _slam_config():
 
 
 class TestOracleSLAM:
-    @pytest.mark.parametrize("matcher", ["simple", "dense", "iterative"])
-    def test_recovers_ground_truth_trajectory(self, oracle_setup, matcher):
+    @pytest.mark.parametrize(
+        "matcher,gelu",
+        [
+            ("simple", "erf"),
+            ("dense", "erf"),
+            ("iterative", "erf"),
+            # deployment composition: dense matcher + tanh gelu (the
+            # configs/base.yaml default) — e2e evidence that the 4.7e-4
+            # gelu deviation does not move the recovered trajectory
+            ("dense", "tanh"),
+        ],
+    )
+    def test_recovers_ground_truth_trajectory(self, oracle_setup, matcher, gelu):
         """All three matchers must recover the oracle trajectory to the SAME
         accuracy band — the e2e evidence that the shipped dense default is
         equivalent to the reference's iterative projective matching."""
         model, poses_gt, d, n = oracle_setup
         _slam_config()
-        if matcher != "simple":
+        if matcher != "simple" or gelu != "erf":
             set_config(
                 Config.from_dict(
                     {
-                        "runtime": {"keyframe_capacity": 16},
+                        "runtime": {"keyframe_capacity": 16,
+                                    "gelu_impl": gelu},
                         "local_opt": {"max_edges": 32},
                         "matching": {
                             "method": matcher,
                             "dense_radius": 2,
                             "dist_thresh": 0.5,
+                        } if matcher != "simple" else {
+                            "use_simple": True, "dist_thresh": 0.5,
                         },
                         "tracking": {"match_frac_thresh": 0.95},
                     }

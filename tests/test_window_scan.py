@@ -25,19 +25,24 @@ import pytest
 
 
 @pytest.mark.parametrize(
-    "spec_decode,matching",
+    "spec_decode,batched_encode,matching",
     [
-        (False, {}),
-        (True, {}),
+        (False, True, {}),
+        (True, True, {}),
+        # inline per-frame encodes inside the chain (the A/B twin of the
+        # hoisted B=K window encode; numerically identical by construction)
+        (False, False, {}),
         # the full deployment composition when both round-3 perf flags
         # flip: speculative batched decode + the Pallas dense matcher
         # (interpreter mode on CPU) inside the unrolled window chain
-        (True, {"method": "dense", "dense_radius": 2,
-                "dense_kernel": "pallas", "dist_thresh": 1e6}),
+        (True, True, {"method": "dense", "dense_radius": 2,
+                      "dense_kernel": "pallas", "dist_thresh": 1e6}),
     ],
-    ids=["base", "spec", "spec+pallas-dense"],
+    ids=["base", "spec", "inline-encode", "spec+pallas-dense"],
 )
-def test_scan_matches_sequential_chain(tiny_model, rng, spec_decode, matching):
+def test_scan_matches_sequential_chain(
+    tiny_model, rng, spec_decode, batched_encode, matching
+):
     set_config(
         Config.from_dict(
             {
@@ -49,6 +54,7 @@ def test_scan_matches_sequential_chain(tiny_model, rng, spec_decode, matching):
                     # live-decode lax.cond fallback (post-promotion frames),
                     # through the chunked (microbatch 2, K=4) spec pass.
                     "window_spec_decode": spec_decode,
+                    "window_batched_encode": batched_encode,
                     "window_decode_microbatch": 2,
                 },
                 "matching": matching,

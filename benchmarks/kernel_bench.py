@@ -430,9 +430,19 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small sizes (CI)")
     ap.add_argument("--out", default="docs")
+    ap.add_argument(
+        "--format-only", action="store_true",
+        help="regenerate kernel_benchmark.md from the existing json "
+        "(no device runs — e.g. after a formatting fix)",
+    )
     args = ap.parse_args(argv)
 
     import jax
+
+    if args.format_only:
+        d = json.loads((Path(args.out) / "kernel_benchmark.json").read_text())
+        meta, results = d["meta"], d["results"]
+        return _write_outputs(Path(args.out), meta, results)
 
     if args.quick:
         # CI sizes are meant for the host CPU; the axon site package
@@ -467,32 +477,40 @@ def main(argv=None) -> int:
     (out_dir / "kernel_benchmark.json").write_text(
         json.dumps({"meta": meta, "results": results}, indent=2)
     )
+    return _write_outputs(out_dir, meta, results)
 
+
+def _write_outputs(out_dir: Path, meta: dict, results: list) -> int:
     lines = [
         "# Kernel benchmarks",
         "",
         f"Backend: **{meta['backend']}** ({meta['devices'][0]})",
         "",
+        "Timing protocol: dependent chain of unique-input calls closed by a",
+        "scalar fetch (`jax.block_until_ready` returns early on the axon",
+        "relay — docs/PLAN.md round-2 finding), median over the steady half.",
+        "Numbers are device program time, not per-op self time.",
+        "",
         "| kernel | config | device ms | oracle ms | speedup | agreement |",
         "|---|---|---|---|---|---|",
     ]
     for r in results:
-        agree = (
-            f"corr {r['corr']:.3f}"
-            if "corr" in r
-            else f"exact {r['exact_match_frac']:.3f}"
-            if "exact_match_frac" in r
-            else f"agree {r['oracle_agree']:.3f} ({r['oracle_config']}), "
-            f"ident {r['identity_recovery']:.3f}"
-            if "oracle_agree" in r
-            else f"ident {r['identity_recovery']:.3f}"
-            if "identity_recovery" in r
-            else r["note"]
-            if "note" in r
-            else f"maxdiff {r.get('max_diff', float('nan')):.2e}"
-            if "max_diff" in r
-            else f"err x{r.get('err_ratio', float('nan')):.2f} in 3 iters"
-        )
+        if "corr" in r:
+            agree = f"corr {r['corr']:.3f}"
+        elif "exact_match_frac" in r:
+            agree = f"exact {r['exact_match_frac']:.3f}"
+        elif "oracle_agree" in r:
+            agree = f"agree {r['oracle_agree']:.3f} ({r['oracle_config']})"
+            if "identity_recovery" in r:
+                agree += f", ident {r['identity_recovery']:.3f}"
+        elif "identity_recovery" in r:
+            agree = f"ident {r['identity_recovery']:.3f}"
+        elif "note" in r:
+            agree = r["note"]
+        elif "max_diff" in r:
+            agree = f"maxdiff {r['max_diff']:.2e}"
+        else:
+            agree = f"err x{r.get('err_ratio', float('nan')):.2f} in 3 iters"
         lines.append(
             f"| {r['kernel']} | {r['config']} | {r['device_ms']:.2f} | "
             f"{r.get('oracle_ms', r.get('xla_ref_ms', float('nan'))):.2f} | "

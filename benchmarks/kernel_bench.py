@@ -221,6 +221,49 @@ def bench_dense_match(rng, quick=False):
     }
 
 
+def bench_dense_match_c2f(rng, quick=False):
+    """Coarse-to-fine tap lattice (radius 3 at dilations (2,1) — same +-6 px
+    reach as the dense 169-tap window at 74 taps, exact within +-3 px) vs
+    the exhaustive window on the same inputs. Agreement = identical argmin
+    picks under tracking-like small displacements (e2e trajectory
+    equivalence: tests/test_system_oracle.py dense_c2f case)."""
+    import jax.numpy as jnp
+
+    from mast3r_slam_tpu.ops.dense_match import match_dense_window, window_taps
+    from tests.fixtures import camera_K, world_surface
+
+    h, w, d = (96, 128, 24) if quick else (384, 512, 24)
+    K = camera_K(h, w)
+    X1 = jnp.asarray(np.asarray(world_surface(rng, h, w, K)).reshape(1, h, w, 3))
+    X2 = X1 + jnp.asarray(rng.normal(0, 0.002, X1.shape).astype(np.float32))
+    D1 = jnp.asarray(rng.normal(size=(1, h, w, d)).astype(np.float32))
+    D1 = D1 / jnp.linalg.norm(D1, axis=-1, keepdims=True)
+    D2 = D1 + 0.05 * jnp.asarray(rng.normal(size=(1, h, w, d)).astype(np.float32))
+    D2 = D2 / jnp.linalg.norm(D2, axis=-1, keepdims=True)
+
+    radius, dil = (1, (2, 1)) if quick else (3, (2, 1))
+    t_c2f, (idx_c2f, _v) = _time_device(
+        lambda *a: match_dense_window(*a, radius=radius, dilations=dil),
+        X1, X2, D1, D2,
+    )
+    t_full, (idx_full, _vf) = _time_device(
+        lambda *a: match_dense_window(*a, radius=6 if not quick else 2,
+                                      dilations=(1,)),
+        X1, X2, D1, D2,
+    )
+    agree = float((np.asarray(idx_c2f) == np.asarray(idx_full)).mean())
+    n_taps = len(window_taps(radius, dil))
+    return {
+        "kernel": "dense_match_c2f",
+        "config": f"{h}x{w}, r={radius} dil={dil} ({n_taps} taps)",
+        "device_ms": t_c2f * 1e3,
+        "xla_ref_ms": t_full * 1e3,
+        "speedup": t_full / t_c2f,
+        "oracle_agree": agree,
+        "oracle_config": "exhaustive 169-tap window (same chip)",
+    }
+
+
 def bench_dense_match_pallas(rng, quick=False):
     """VMEM-tiled Pallas matcher vs the XLA shifted-tap twin, both in the
     tracking hot-path configuration (5-channel payload + hit mask).
@@ -454,6 +497,7 @@ def main(argv=None) -> int:
     results = [
         bench_iter_proj(rng, args.quick),
         bench_dense_match(rng, args.quick),
+        bench_dense_match_c2f(rng, args.quick),
         bench_dense_match_pallas(rng, args.quick),
         bench_refine(rng, args.quick),
         bench_gn(rng, "rays", args.quick),

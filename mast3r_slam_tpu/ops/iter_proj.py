@@ -84,33 +84,47 @@ def bilinear_sample(img: jax.Array, coords: jax.Array) -> jax.Array:
 
     Coordinates are clamped to the valid interpolation domain, matching the
     reference semantics (matching.py:178-232) without its per-batch python
-    loop: the gather is one batched take over [B, H*W, C].
+    loop.
+
+    TPU gather shape: gathers here are ROW-rate-bound (per gathered row,
+    not per byte — round-2/3 measurements in docs/PLAN.md), so instead of
+    one row per corner (4N rows) this issues ONE `lax.gather` of contiguous
+    [2, 2, C] blocks anchored at (y0, x0) — N rows, 4x fewer. The clamp to
+    `w - 1.001` already guarantees `x0 <= w-2` (same for y), so the 2x2
+    block is always in-bounds and the old `min(x0+1, w-1)` corner clamp is
+    a no-op by construction.
     """
     b, h, w, c = img.shape
     x = jnp.clip(coords[..., 0], 0.0, w - 1.001)
     y = jnp.clip(coords[..., 1], 0.0, h - 1.001)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
+    fx = x - x0  # [B, N]
+    fy = y - y0
 
-    flat = img.reshape(b, h * w, c)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),  # the [2, 2, C] block dims in the output
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
 
-    # ONE batched gather for all four corners (4x fewer HBM gather passes
-    # than the naive per-corner take).
-    n = x0.shape[-1]
-    idx4 = jnp.stack(
-        [y0 * w + x0, y1 * w + x0, y0 * w + x1, y1 * w + x1], axis=-1
-    ).reshape(b, 4 * n)
-    v = jnp.take_along_axis(flat, idx4[..., None], axis=1).reshape(b, n, 4, c)
-    w00 = (1 - fx) * (1 - fy)
-    w01 = (1 - fx) * fy
-    w10 = fx * (1 - fy)
-    w11 = fx * fy
-    wts = jnp.stack([w00, w01, w10, w11], axis=-2)  # [B, N, 4, 1]
-    return jnp.sum(v * wts, axis=-2)
+    def gather_one(im, starts):
+        # im [H, W, C], starts [N, 2] -> [N, 2, 2, C]
+        return jax.lax.gather(
+            im,
+            starts,
+            dimension_numbers=dnums,
+            slice_sizes=(2, 2, c),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )
+
+    starts = jnp.stack([y0, x0], axis=-1)  # [B, N, 2]
+    v = jax.vmap(gather_one)(img, starts)  # [B, N, 2, 2, C]
+
+    wy = jnp.stack([1.0 - fy, fy], axis=-1)[..., None]  # [B, N, 2, 1]
+    wx = jnp.stack([1.0 - fx, fx], axis=-1)[..., None]
+    # Reduce the 2x2 block: interpolate x within each row, then y.
+    return jnp.sum(jnp.sum(v * wx[:, :, None], axis=3) * wy, axis=2)
 
 
 @partial(jax.jit, static_argnames=("max_iter",))

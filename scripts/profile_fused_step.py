@@ -92,6 +92,13 @@ def main() -> int:
         help="override runtime.attention_impl for the A/B",
     )
     ap.add_argument(
+        "--dense-lattice", default=None, metavar="R:D1,D2",
+        help="override the dense matcher tap lattice, e.g. '3:2,1' = "
+        "radius 3 at dilations (2,1) — the coarse-to-fine lattice with "
+        "the same +-6 px reach as the default 169-tap dense window at "
+        "about half the taps",
+    )
+    ap.add_argument(
         "--gelu", default=None, choices=["erf", "tanh"],
         help="override runtime.gelu_impl for the A/B",
     )
@@ -142,6 +149,12 @@ def main() -> int:
         live_cfg.runtime.window_spec_decode = True
     if args.dense_kernel:
         live_cfg.matching.dense_kernel = args.dense_kernel
+    if args.dense_lattice:
+        r_s, dil_s = args.dense_lattice.split(":")
+        live_cfg.matching.dense_radius = int(r_s)
+        live_cfg.matching.dense_dilations = tuple(
+            int(d) for d in dil_s.split(",")
+        )
     if args.no_batched_encode:
         live_cfg.runtime.window_batched_encode = False
     if args.attention:

@@ -53,6 +53,10 @@ class TestOracleSLAM:
             # configs/base.yaml default) — e2e evidence that the 4.7e-4
             # gelu deviation does not move the recovered trajectory
             ("dense", "tanh"),
+            # coarse-to-fine tap lattice (half the taps, same reach:
+            # radius R/2 at dilations (2,1) — the perf candidate for the
+            # deployment config): trajectory must stay in the same band
+            ("dense_c2f", "tanh"),
         ],
     )
     def test_recovers_ground_truth_trajectory(self, oracle_setup, matcher, gelu):
@@ -69,6 +73,11 @@ class TestOracleSLAM:
                                     "gelu_impl": gelu},
                         "local_opt": {"max_edges": 32},
                         "matching": {
+                            "method": "dense",
+                            "dense_radius": 1,
+                            "dense_dilations": (2, 1),
+                            "dist_thresh": 0.5,
+                        } if matcher == "dense_c2f" else {
                             "method": matcher,
                             "dense_radius": 2,
                             "dist_thresh": 0.5,

@@ -78,10 +78,23 @@ def time_device_chained(fn, *args, iters: int = 5):
     out, arg0 = step(*args)  # compile
     fetch_scalar(out)
     rest = args[1:]
-    arg0 = args[0]
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out, arg0 = step(arg0, *rest)
-    fetch_scalar(out)
-    dt = time.perf_counter() - t0 - base
-    return max(dt, 0.0) / iters, out
+
+    # Adaptive chain length: the measurement is (1 RTT + N x prog) - RTT̂,
+    # and the relay round trip has ~ms jitter — for sub-ms programs a short
+    # chain can come out zero or negative (observed: gauss_newton_rays at
+    # iters=5). Grow the chain until the raw elapsed time dwarfs the no-op
+    # baseline so RTT variance is amortized away.
+    for _attempt in range(4):
+        arg0 = args[0]
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out, arg0 = step(arg0, *rest)
+        fetch_scalar(out)
+        elapsed = time.perf_counter() - t0
+        if elapsed >= 8.0 * base or elapsed >= 2.0:
+            break
+        iters *= 4
+    dt = elapsed - base
+    # Floor at 1 us/call: the subtraction can still under-shoot by RTT
+    # jitter, and downstream speedup ratios must not divide by zero.
+    return max(dt / iters, 1e-6), out

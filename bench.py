@@ -123,6 +123,12 @@ def main() -> int:
                     # algorithm) is config-selectable and ~100 ms slower at
                     # this resolution (docs/PLAN.md measurements)
                     "method": "dense",
+                    # coarse-to-fine tap lattice (deployment default,
+                    # configs/base.yaml): same ±6 px reach as the exhaustive
+                    # radius-6 lattice with 89 taps vs 169 — window-program
+                    # A/B on v5e 16.70 vs 18.65 ms/frame (docs/PLAN.md)
+                    "dense_radius": 3,
+                    "dense_dilations": (2, 1),
                     "dist_thresh": 1e6,
                 },
                 "tracking": {
@@ -344,36 +350,37 @@ def main() -> int:
     try:
         from mast3r_slam_tpu.serving import BatchTracker
 
-        # B=8 via the in-dispatch microbatch scan (runtime.serving_microbatch
-        # = 4): decode/DPT transients stay at the B=4 working set that fits
-        # v5e HLO-temp memory, launch overhead amortizes over 8 sequences.
-        B = 8
-        tileB = lambda a: jnp.tile(a[None], (B,) + (1,) * a.ndim)
-        bt = BatchTracker(model)
-        bt.init_from_keyframes(
-            tileB(kf.feat), tileB(kf.pos), tileB(kf.X_canon), tileB(kf.C)
-        )
-        posB = tileB(frame.pos)
-        featsB = [tileB(frame.feat) + i * 1e-4 for i in range(10)]
-        jax.block_until_ready(featsB)
-        bt.step(featsB[0], posB)
-        bt.step(featsB[1], posB)
-        # Zero-sync dispatch chain (tracked gate applied on device): the
-        # per-batch stats handles are drained AFTER the chain, so the
-        # relay RTT rides once, not once per batch — the serving analog of
-        # the tracking loop's windowed drain.
-        k = 8
-        t0 = time.perf_counter()
-        handles = [bt.step_async(featsB[2 + i], posB) for i in range(k)]
-        stats = np.asarray(jnp.stack(handles))  # ONE fetch for all batches
-        dt = (time.perf_counter() - t0) / k
-        assert stats.shape[0] == k
-        print(
-            f"[bench] serving: {B} sequences/dispatch -> "
-            f"{B/dt:.1f} tracked frames/s ({dt*1e3:.1f} ms/batch, stats "
-            f"drained once per {k}-batch chain)",
-            file=sys.stderr,
-        )
+        # Amortization curve over batch size; the in-dispatch microbatch scan
+        # (runtime.serving_microbatch = 4) keeps decode/DPT transients at the
+        # B=4 working set that fits v5e HLO-temp memory at every B, so
+        # launch/weight-stream overhead is the only thing B amortizes.
+        for B in (8, 16):
+            tileB = lambda a: jnp.tile(a[None], (B,) + (1,) * a.ndim)
+            bt = BatchTracker(model)
+            bt.init_from_keyframes(
+                tileB(kf.feat), tileB(kf.pos), tileB(kf.X_canon), tileB(kf.C)
+            )
+            posB = tileB(frame.pos)
+            featsB = [tileB(frame.feat) + i * 1e-4 for i in range(10)]
+            jax.block_until_ready(featsB)
+            bt.step(featsB[0], posB)
+            bt.step(featsB[1], posB)
+            # Zero-sync dispatch chain (tracked gate applied on device): the
+            # per-batch stats handles are drained AFTER the chain, so the
+            # relay RTT rides once, not once per batch — the serving analog
+            # of the tracking loop's windowed drain.
+            k = 8
+            t0 = time.perf_counter()
+            handles = [bt.step_async(featsB[2 + i], posB) for i in range(k)]
+            stats = np.asarray(jnp.stack(handles))  # ONE fetch, all batches
+            dt = (time.perf_counter() - t0) / k
+            assert stats.shape[0] == k
+            print(
+                f"[bench] serving: {B} sequences/dispatch -> "
+                f"{B/dt:.1f} tracked frames/s ({dt*1e3:.1f} ms/batch, stats "
+                f"drained once per {k}-batch chain)",
+                file=sys.stderr,
+            )
     except Exception as e:  # serving must never sink the headline metric
         print(f"[bench] serving leg skipped: {e}", file=sys.stderr)
 

@@ -135,7 +135,9 @@ def main() -> int:
                     "runtime": {"keyframe_capacity": 32,
                                 "gelu_impl": "tanh"},
                     "local_opt": {"max_edges": 32},
-                    "matching": {"method": "dense", "dist_thresh": 1e6},
+                    "matching": {"method": "dense", "dist_thresh": 1e6,
+                                 "dense_radius": 3,
+                                 "dense_dilations": (2, 1)},
                     "tracking": {
                         "min_match_frac": 0.0,
                         "match_frac_thresh": 0.0,

@@ -181,6 +181,7 @@ class PrefetchLoader:
     """
 
     _STOP = object()
+    _ERROR = object()  # sentinel: next queue item is the worker's exception
 
     def __init__(self, dataset: Dataset, img_size: int | None = None, depth: int | None = None):
         cfg = get_config()
@@ -200,6 +201,12 @@ class PrefetchLoader:
             for i in range(n):
                 ts, rgb = self.dataset[i]
                 self._q.put((ts, prep(rgb, self.img_size)))
+        except BaseException as e:  # noqa: BLE001 — must cross the thread
+            # Fault propagation (SURVEY §5.3 — the reference had none): a
+            # decode error in the worker must surface at the consumer, not
+            # silently truncate the sequence.
+            self._q.put(self._ERROR)
+            self._q.put(e)
         finally:
             self._q.put(self._STOP)
 
@@ -210,6 +217,8 @@ class PrefetchLoader:
         self._thread.start()
         while True:
             item = self._q.get()
+            if item is self._ERROR:
+                raise self._q.get()
             if item is self._STOP:
                 break
             yield item

@@ -81,6 +81,54 @@ class TestInputFaults:
         assert np.isfinite(results["poses"]).all()
 
 
+class TestWindowFaults:
+    def test_nan_frame_in_window_program(self, tiny_model, rng):
+        """A NaN frame inside the K-frame zero-sync window program: the
+        per-frame event codes (stats[:, 3]) must stay finite integers —
+        `SLAM._drain_window` does `int(round(float(stats[j, 3])))` on the
+        host, which raises on NaN — and the chained keyframe state the
+        NEXT window starts from must stay finite."""
+        from mast3r_slam_tpu.config import get_config
+        from mast3r_slam_tpu.frame import Keyframes
+        from mast3r_slam_tpu.inference import mast3r_inference_mono
+        from mast3r_slam_tpu.tracker import _make_fused_track_chain_scan
+
+        set_config(Config.from_dict({"runtime": {"keyframe_capacity": 8}}))
+        h, w = tiny_model._out_hw
+        K = 4
+        base = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+        kfs = Keyframes(h, w)
+        kf = create_frame(0, jnp.asarray(base))
+        X, C, feat, pos = mast3r_inference_mono(tiny_model, kf)
+        kf.X_canon, kf.C, kf.feat, kf.pos = X, C, feat, pos
+        kf.N = kf.N_updates = 1
+        kfs.append(kf)
+
+        imgs_np = np.stack([base] * K).astype(np.float32)
+        imgs_np[2] = np.nan  # frame 2 of the window is corrupt
+        imgs = jnp.asarray(imgs_np)
+
+        cfg = get_config().tracking
+        fmode = get_config().tracking.filtering_mode
+        scan_fn = _make_fused_track_chain_scan(tiny_model, cfg, fmode)
+        n = h * w
+        idx0 = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (1, n))
+        win = scan_fn(
+            tiny_model.params, imgs, kf.feat, kf.pos, idx0,
+            kf.X_canon, kf.C, jnp.asarray(1.0), kf.T_WC, kf.T_WC, None,
+        )
+        stats = np.asarray(win["stats"])
+        events = stats[:, 3]
+        assert np.isfinite(events).all(), events
+        assert set(np.round(events).astype(int)) <= {0, 1, 2}, events
+        # every per-frame pose and the final chain state stay finite
+        assert np.isfinite(np.asarray(win["T_WCf"])).all()
+        assert np.isfinite(np.asarray(win["final"]["kf_T"])).all()
+        # the fused keyframe pointmap must not be poisoned for later windows
+        assert np.isfinite(np.asarray(win["final"]["kf_X"])).all()
+        assert np.isfinite(np.asarray(win["final"]["kf_C"])).all()
+
+
 class TestSolverFaults:
     def test_degenerate_system_keeps_pose_finite(self):
         """All points identical -> rank-deficient normal equations. The

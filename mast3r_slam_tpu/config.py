@@ -208,6 +208,13 @@ class RuntimeConfig:
     # transients scale with the chunk, not the batch (v5e compiles B=4
     # flat but OOMs HLO temps at B=8; chunked, B=8/16 fit). 0 = flat vmap.
     serving_microbatch: int = 4
+    # Unroll factor for the serving microbatch scan. At B=16/mb=4 the
+    # nc=4-step scan measured 8x slower per batch than B=8's nc=2 (both
+    # chip and CPU smoke show it, so it is the scan region, not the relay):
+    # the per-step stacked-output writes defeat in-place aliasing. Partial
+    # unroll keeps the per-chunk activation working set while letting XLA
+    # fuse/alias across `unroll` chunks per loop step. 1 = plain scan.
+    serving_scan_unroll: int = 1
     # Speculative batched window decode: decode ALL K window frames against
     # the window-start keyframe in one batched pass (chunked by
     # window_decode_microbatch, same HLO-temp reasoning as

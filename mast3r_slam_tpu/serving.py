@@ -50,7 +50,8 @@ class BatchState:
 
 
 def _make_batch_program(model, cfg, filtering_mode: str, mesh=None,
-                        microbatch: int = 0, image_input: bool = False):
+                        microbatch: int = 0, image_input: bool = False,
+                        scan_unroll: int = 1):
     """Build the vmapped per-frame program; with a `jax.sharding.Mesh`,
     the sequence axis is sharded over the mesh's 'dp' axis (one GSPMD
     program: decode/matching/GN run fully data-parallel over ICI, model
@@ -157,7 +158,13 @@ def _make_batch_program(model, cfg, filtering_mode: str, mesh=None,
         def body(carry, chunk):
             return carry, vone(params, *chunk)
 
-        _, outs = jax.lax.scan(body, None, chunked)
+        # Partial unroll (runtime.serving_scan_unroll): the per-step
+        # stacked-output writes of a plain scan defeat in-place aliasing
+        # (measured 8x/batch at nc=4 — docs/PLAN.md round-3); unrolling
+        # lets XLA fuse across `unroll` chunks while the activation
+        # working set stays one chunk at a time in program order.
+        unroll = max(1, min(scan_unroll, nc))
+        _, outs = jax.lax.scan(body, None, chunked, unroll=unroll)
         return jax.tree.map(
             lambda o: o.reshape((B,) + o.shape[2:]), outs
         )
@@ -236,8 +243,10 @@ class BatchTracker:
                 # is already B/dp, so just run flat
                 microbatch = 0
         self.microbatch = microbatch
+        self.scan_unroll = cfg.runtime.serving_scan_unroll
         self._program = _make_batch_program(
-            model, self.cfg, self.cfg.filtering_mode, mesh, microbatch
+            model, self.cfg, self.cfg.filtering_mode, mesh, microbatch,
+            scan_unroll=self.scan_unroll,
         )
         self._program_img = None  # built on first step_images_async
         self.state: Optional[BatchState] = None
@@ -328,6 +337,7 @@ class BatchTracker:
             self._program_img = _make_batch_program(
                 self.model, self.cfg, self.cfg.filtering_mode, self.mesh,
                 self.microbatch, image_input=True,
+                scan_unroll=self.scan_unroll,
             )
         s = self._require_state("step_images_async")
         out = self._program_img(

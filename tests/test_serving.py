@@ -424,6 +424,61 @@ class TestMicrobatchScan:
             rtol=1e-4, atol=1e-4,
         )
 
+    def test_scan_unroll_matches_plain_scan(self, tiny_model, rng):
+        """runtime.serving_scan_unroll is a pure scheduling change: B=8 in
+        chunks of 2 with unroll=2 produces the same poses/stats as the
+        plain (unroll=1) scan."""
+        B = 8
+        h, w = tiny_model._out_hw
+        feats, poss, Xs, Cs = [], [], [], []
+        for _ in range(B):
+            img = jnp.asarray(
+                rng.uniform(-1, 1, (1, h, w, 3)).astype(np.float32)
+            )
+            f, p = tiny_model.encode(img)
+            X, C = tiny_model.mono(f[0], p[0])
+            feats.append(f[0]); poss.append(p[0]); Xs.append(X); Cs.append(C)
+        feats, poss = jnp.stack(feats), jnp.stack(poss)
+        Xs, Cs = jnp.stack(Xs), jnp.stack(Cs)
+
+        set_config(
+            Config.from_dict(
+                {
+                    "matching": {"use_simple": True, "dist_thresh": 1e6},
+                    "tracking": {"min_match_frac": 0.01},
+                }
+            )
+        )
+        plain = BatchTracker(tiny_model, microbatch=2)
+        plain.init_from_keyframes(feats, poss, Xs, Cs)
+        out_plain = plain.step(feats, poss)
+
+        set_config(
+            Config.from_dict(
+                {
+                    "runtime": {"serving_scan_unroll": 2},
+                    "matching": {"use_simple": True, "dist_thresh": 1e6},
+                    "tracking": {"min_match_frac": 0.01},
+                }
+            )
+        )
+        un = BatchTracker(tiny_model, microbatch=2)
+        assert un.scan_unroll == 2
+        un.init_from_keyframes(feats, poss, Xs, Cs)
+        out_un = un.step(feats, poss)
+
+        np.testing.assert_allclose(
+            np.asarray(out_un["poses"]), np.asarray(out_plain["poses"]),
+            atol=1e-5,
+        )
+        np.testing.assert_array_equal(
+            out_un["tracked"], out_plain["tracked"]
+        )
+        np.testing.assert_allclose(
+            np.asarray(un.state.kf_X), np.asarray(plain.state.kf_X),
+            rtol=1e-4, atol=1e-4,
+        )
+
     def test_indivisible_microbatch_runs_flat(self, tiny_model):
         """Config-default microbatch that doesn't divide B falls back to
         one flat vmap (B < microbatch is the common small-batch case)."""

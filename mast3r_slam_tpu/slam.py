@@ -137,9 +137,14 @@ class SLAM:
         def drain_inflight() -> None:
             if inflight[0] is None:
                 return
-            frames_ts, handle = inflight[0]
+            frames_ts, handle, stats_fut = inflight[0]
             inflight[0] = None
-            stats = np.asarray(handle["out"]["stats"])  # the ONE sync
+            # The ONE sync per window — but the RTT already rode the fetch
+            # thread (submitted at dispatch time, below), so by the time
+            # the next window calls here, .result() is normally immediate:
+            # the relay round trip overlaps this window's device compute
+            # instead of blocking the host's dispatch path.
+            stats = stats_fut.result()
             self._drain_window(
                 [
                     (fr, ts, WindowRow(handle["out"], j))
@@ -200,12 +205,20 @@ class SLAM:
                         for j, (_i, ts, _u) in enumerate(entries):
                             self._step_sync(frames[j], ts)
                     else:
+                        # Fetch-ahead: the stats sync is submitted NOW, on a
+                        # side thread, so its ~one-RTT cost (and the wait for
+                        # this window's compute) never blocks the main
+                        # thread's next dispatch. Host bookkeeping still
+                        # happens strictly in window order in drain_inflight.
                         inflight[0] = (
                             [
                                 (frames[j], entries[j][1])
                                 for j in range(len(frames))
                             ],
                             handle,
+                            fetcher.submit(
+                                lambda h=handle: np.asarray(h["out"]["stats"])
+                            ),
                         )
                     return
             # strict frame order: anything in flight resolves first
@@ -233,7 +246,13 @@ class SLAM:
                 e, f = upload_q.pop(0)
                 process_batch(e, f.result())
 
-        with ThreadPoolExecutor(max_workers=1) as uploader:
+        # Two one-thread side lanes: `uploader` ships window n+1's stacked
+        # uint8 put ahead of time; `fetcher` carries the in-flight window's
+        # stats sync (each fetch blocks until that window's compute lands,
+        # so it must not queue behind — or hold up — uploads).
+        with ThreadPoolExecutor(max_workers=1) as uploader, ThreadPoolExecutor(
+            max_workers=1
+        ) as fetcher:
             for i, (timestamp, processed) in enumerate(
                 loader(max_frames=n_frames)
             ):
@@ -244,7 +263,7 @@ class SLAM:
             while upload_q:
                 e, f = upload_q.pop(0)
                 process_batch(e, f.result())
-        drain_inflight()
+            drain_inflight()
         self._run_backend(budget=0)  # drain any deferred backend tasks
         if self.viewer is not None:
             # final snapshot with the backend's last pose corrections

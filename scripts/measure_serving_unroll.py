@@ -85,6 +85,8 @@ def main() -> int:
     results = {}
     # (B, microbatch, unroll); mb=4/unroll=1 rows reproduce the round-3
     # bench numbers as the control.
+    import ast
+
     combos = [
         (8, 4, 1),
         (16, 4, 1),
@@ -92,6 +94,8 @@ def main() -> int:
         (16, 4, 4),
         (16, 8, 1),
     ]
+    if len(sys.argv) > 1:  # e.g. "[(8,4,2),(32,4,4)]"
+        combos = ast.literal_eval(sys.argv[1])
     for B, mb, unroll in combos:
         tag = f"B={B} mb={mb} unroll={unroll}"
         try:

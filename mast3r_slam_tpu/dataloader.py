@@ -183,11 +183,18 @@ class PrefetchLoader:
     _STOP = object()
     _ERROR = object()  # sentinel: next queue item is the worker's exception
 
-    def __init__(self, dataset: Dataset, img_size: int | None = None, depth: int | None = None):
+    def __init__(
+        self,
+        dataset: Dataset,
+        img_size: int | None = None,
+        depth: int | None = None,
+        patch: int = 16,
+    ):
         cfg = get_config()
         self.dataset = dataset
         self.img_size = img_size or cfg.dataset.img_size
         self.depth = depth or cfg.runtime.prefetch_depth
+        self.patch = patch  # crop alignment (16 ViT-L, 14 DUNE)
         self._q: queue.Queue = queue.Queue(maxsize=self.depth)
         self._thread: threading.Thread | None = None
 
@@ -200,7 +207,7 @@ class PrefetchLoader:
         try:
             for i in range(n):
                 ts, rgb = self.dataset[i]
-                self._q.put((ts, prep(rgb, self.img_size)))
+                self._q.put((ts, prep(rgb, self.img_size, patch=self.patch)))
         except BaseException as e:  # noqa: BLE001 — must cross the thread
             # Fault propagation (SURVEY §5.3 — the reference had none): a
             # decode error in the worker must surface at the consumer, not

@@ -35,6 +35,7 @@ def resize_img_native(
     img: np.ndarray,
     size: int,
     square_ok: bool = False,
+    patch: int = 16,
 ):
     """Native (C++/OpenMP) fast path of `resize_img`: identical crop
     geometry, area/bilinear filters, fused crop+normalize. Falls back to
@@ -61,9 +62,7 @@ def resize_img_native(
         cw = ch = 2 * half
         cx0, cy0 = cx - half, cy - half
     else:
-        halfw, halfh = ((2 * cx) // 16) * 8, ((2 * cy) // 16) * 8
-        if not square_ok and W == H:
-            halfh = int(3 * halfw / 4)
+        halfw, halfh = _patch_halves(W, H, square_ok, patch)
         cw, ch = 2 * halfw, 2 * halfh
         cx0, cy0 = cx - halfw, cy - halfh
 
@@ -75,17 +74,36 @@ def resize_img_native(
     }
 
 
+def _patch_halves(
+    W: int, H: int, square_ok: bool, patch: int
+) -> tuple[int, int]:
+    """Half-extents of the center crop, aligned so the crop's H and W are
+    multiples of `patch` (the model's token grid; the /16 alignment the
+    reference hardcodes at image.py:75 breaks its own patch-14 DUNE family
+    through any loader that enforces token alignment)."""
+    hp = patch // 2
+    cx, cy = W // 2, H // 2
+    halfw = ((2 * cx) // patch) * hp
+    halfh = ((2 * cy) // patch) * hp
+    if not square_ok and W == H:
+        # 4:3 from a square source, rounded down to keep patch alignment
+        halfh = (int(3 * halfw / 4) // hp) * hp
+    return halfw, halfh
+
+
 def resize_img(
     img: np.ndarray,
     size: int,
     square_ok: bool = False,
     return_transformation: bool = False,
+    patch: int = 16,
 ):
     """Preprocess one image.
 
     Args:
         img: [H, W, 3] uint8 (or float in [0,1])
         size: target class (224 / 336 / 512)
+        patch: model patch size — crop H/W align to it (16 ViT-L, 14 DUNE)
 
     Returns dict with:
         img: float32 [1, H', W', 3] in [-1, 1]
@@ -111,9 +129,7 @@ def resize_img(
         half = min(cx, cy)
         pil = pil.crop((cx - half, cy - half, cx + half, cy + half))
     else:
-        halfw, halfh = ((2 * cx) // 16) * 8, ((2 * cy) // 16) * 8
-        if not square_ok and W == H:
-            halfh = int(3 * halfw / 4)
+        halfw, halfh = _patch_halves(W, H, square_ok, patch)
         pil = pil.crop((cx - halfw, cy - halfh, cx + halfw, cy + halfh))
 
     arr = np.asarray(pil).astype(np.float32) / 255.0

@@ -99,7 +99,9 @@ class SLAM:
             dataset = load_dataset(dataset)
 
         n_frames = len(dataset) if max_frames is None else min(len(dataset), max_frames)
-        loader = PrefetchLoader(dataset, img_size=self.resolution)
+        loader = PrefetchLoader(
+            dataset, img_size=self.resolution, patch=self.model.patch_size
+        )
 
         self.timestamps, self.poses = [], []
         self._callback = callback

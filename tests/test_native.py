@@ -71,6 +71,27 @@ class TestResizeImgNative:
         h, w = b["true_shape"][0]
         assert h == w == 224
 
+    def test_patch14_crop_alignment(self, rng):
+        """patch=14 (DUNE family) crops land on the /14 token grid — the
+        reference's hardcoded /16 crop (image.py:75) would break its own
+        patch-14 DuneMast3r through any loader enforcing token alignment.
+        Both preprocess paths agree on the geometry."""
+        for shape in [(480, 640), (640, 480), (500, 500), (252, 336)]:
+            img = rng.integers(0, 255, (*shape, 3), dtype=np.uint8)
+            for size in (336, 512):
+                a = resize_img(img, size, patch=14)
+                b = resize_img_native(img, size, patch=14)
+                h, w = a["true_shape"][0]
+                assert h % 14 == 0 and w % 14 == 0, (shape, size, h, w)
+                np.testing.assert_array_equal(a["true_shape"], b["true_shape"])
+
+    def test_patch16_square_source_stays_aligned(self, rng):
+        """The 4:3-from-square special case also lands on the patch grid."""
+        img = rng.integers(0, 255, (500, 500, 3), dtype=np.uint8)
+        r = resize_img(img, 512)
+        h, w = r["true_shape"][0]
+        assert h % 16 == 0 and w % 16 == 0
+
     def test_faster_than_pil(self, rng):
         img = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
         resize_img_native(img, 512)  # warm the .so

@@ -102,6 +102,41 @@ class TestE2E:
         for T in results["poses"]:
             np.testing.assert_allclose(T, np.eye(4), atol=0.05)
 
+    def test_patch14_family_through_loader(self, tmp_path):
+        """The full SLAM loop with a patch-14 (DUNE-family) model: the
+        loader's crop must land on the /14 token grid (regression: the
+        crop geometry hardcoded /16, so any dunemast3r run died in
+        set_out_hw — the reference has the same latent hardcode at
+        image.py:75)."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 255, (120, 160, 3), dtype=np.uint8)
+        for i in range(3):
+            Image.fromarray(img).save(tmp_path / f"{i:03d}.png")
+        cfg = MASt3RConfig(
+            enc_embed_dim=56, enc_depth=2, enc_num_heads=2, patch_size=14,
+            dec_embed_dim=40, dec_depth=2, dec_num_heads=2,
+            head_type="linear", dtype=jnp.float32,
+        )
+        model = MASt3RModel.create(resolution=112, _test_cfg=cfg)
+        set_config(
+            Config.from_dict(
+                {
+                    "runtime": {"keyframe_capacity": 16},
+                    "local_opt": {"max_edges": 16},
+                    "matching": {"use_simple": True},
+                }
+            )
+        )
+        slam = SLAM(model=model, resolution=112)
+        results = slam.run(tmp_path, max_frames=3)
+        assert results["poses"].shape == (3, 4, 4)
+        h, w = model._out_hw
+        assert h % 14 == 0 and w % 14 == 0
+        for T in results["poses"]:
+            np.testing.assert_allclose(T, np.eye(4), atol=0.05)
+
     def test_changing_scene_survives(self, tmp_path, tiny_model):
         """Random images: tracking may fail -> reloc path; must not crash."""
         rng = np.random.default_rng(3)

@@ -114,8 +114,14 @@ def main() -> int:
             {
                 # tanh gelu: the deployment-config default (configs/base.yaml)
                 # — 1.7 ms/frame cheaper than exact erf on v5e, sub-bf16-ulp
-                # deviation (docs/PLAN.md A/B matrix)
-                "runtime": {"keyframe_capacity": 32, "gelu_impl": "tanh"},
+                # deviation (docs/PLAN.md A/B matrix). serving_scan_unroll=4:
+                # the measured knee of the serving microbatch scan (also the
+                # base.yaml default; scripts/measure_serving_unroll.py matrix)
+                "runtime": {
+                    "keyframe_capacity": 32,
+                    "gelu_impl": "tanh",
+                    "serving_scan_unroll": 4,
+                },
                 "local_opt": {"max_edges": 32},
                 "matching": {
                     # gather-free dense cost-volume matcher (ops/dense_match):

@@ -223,7 +223,8 @@ def bench_dense_match(rng, quick=False):
 
 def bench_dense_match_c2f(rng, quick=False):
     """Coarse-to-fine tap lattice (radius 3 at dilations (2,1) — same +-6 px
-    reach as the dense 169-tap window at 74 taps, exact within +-3 px) vs
+    reach as the dense 169-tap window at 89 taps (49 + 49 - 9 overlap),
+    exact within +-3 px; odd displacements beyond +-3 px land 1 px off) vs
     the exhaustive window on the same inputs. Agreement = identical argmin
     picks under tracking-like small displacements (e2e trajectory
     equivalence: tests/test_system_oracle.py dense_c2f case)."""

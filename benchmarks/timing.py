@@ -86,8 +86,9 @@ def time_device_chained(fn, *args, iters: int = 5):
     # baseline so RTT variance is amortized away.
     for _attempt in range(4):
         arg0 = args[0]
+        ran = iters
         t0 = time.perf_counter()
-        for _ in range(iters):
+        for _ in range(ran):
             out, arg0 = step(arg0, *rest)
         fetch_scalar(out)
         elapsed = time.perf_counter() - t0
@@ -97,4 +98,4 @@ def time_device_chained(fn, *args, iters: int = 5):
     dt = elapsed - base
     # Floor at 1 us/call: the subtraction can still under-shoot by RTT
     # jitter, and downstream speedup ratios must not divide by zero.
-    return max(dt / iters, 1e-6), out
+    return max(dt / ran, 1e-6), out

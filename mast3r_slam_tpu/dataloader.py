@@ -195,10 +195,9 @@ class PrefetchLoader:
         self.img_size = img_size or cfg.dataset.img_size
         self.depth = depth or cfg.runtime.prefetch_depth
         self.patch = patch  # crop alignment (16 ViT-L, 14 DUNE)
-        self._q: queue.Queue = queue.Queue(maxsize=self.depth)
         self._thread: threading.Thread | None = None
 
-    def _worker(self, max_frames: int | None):
+    def _worker(self, q: queue.Queue, max_frames: int | None):
         from mast3r_slam_tpu import native
         from mast3r_slam_tpu.models.preprocess import resize_img, resize_img_native
 
@@ -207,25 +206,29 @@ class PrefetchLoader:
         try:
             for i in range(n):
                 ts, rgb = self.dataset[i]
-                self._q.put((ts, prep(rgb, self.img_size, patch=self.patch)))
+                q.put((ts, prep(rgb, self.img_size, patch=self.patch)))
         except BaseException as e:  # noqa: BLE001 — must cross the thread
             # Fault propagation (SURVEY §5.3 — the reference had none): a
             # decode error in the worker must surface at the consumer, not
             # silently truncate the sequence.
-            self._q.put(self._ERROR)
-            self._q.put(e)
+            q.put(self._ERROR)
+            q.put(e)
         finally:
-            self._q.put(self._STOP)
+            q.put(self._STOP)
 
     def __call__(self, max_frames: int | None = None):
+        # Fresh queue per invocation: after an error re-raise the worker's
+        # trailing _STOP sentinel would otherwise linger in a shared queue
+        # and make the NEXT __call__ yield zero frames (ADVICE r3).
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
         self._thread = threading.Thread(
-            target=self._worker, args=(max_frames,), daemon=True
+            target=self._worker, args=(q, max_frames), daemon=True
         )
         self._thread.start()
         while True:
-            item = self._q.get()
+            item = q.get()
             if item is self._ERROR:
-                raise self._q.get()
+                raise q.get()
             if item is self._STOP:
                 break
             yield item

@@ -95,10 +95,18 @@ def bilinear_sample(img: jax.Array, coords: jax.Array) -> jax.Array:
     a no-op by construction.
     """
     b, h, w, c = img.shape
+    if h < 2 or w < 2:
+        raise ValueError(f"bilinear block gather needs h, w >= 2; got {h}x{w}")
     x = jnp.clip(coords[..., 0], 0.0, w - 1.001)
     y = jnp.clip(coords[..., 1], 0.0, h - 1.001)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
+    # Belt-and-braces: the float clamp guarantees x0 <= w-2 only while
+    # `w - 1.001` rounds below w-1 (true for w < ~16k in f32); the int clip
+    # makes the 2x2 block in-bounds by arithmetic at ANY size, independent
+    # of HLO gather's start-index clamping (ADVICE r3).
+    x0 = jnp.clip(x0, 0, w - 2)
+    y0 = jnp.clip(y0, 0, h - 2)
     fx = x - x0  # [B, N]
     fy = y - y0
 

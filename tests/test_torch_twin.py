@@ -661,10 +661,30 @@ class TestFullScaleReadiness:
     pinned so a released checkpoint on disk loads with zero code changes
     (VERDICT r2 item 2)."""
 
-    def test_vitl_key_surface_and_shapes(self):
-        """Torch twin at REAL ViT-L dims on the meta device (no memory) vs
-        flax `jax.eval_shape` (no compute): key sets AND per-tensor torch
-        layouts must agree exactly."""
+    @pytest.mark.parametrize(
+        "family, tdims, fcfg, img_hw",
+        [
+            (
+                "mast3r_full",
+                dict(enc_dim=1024, enc_depth=24, enc_heads=16,
+                     dec_dim=768, dec_depth=12, dec_heads=12, patch_size=16),
+                lambda: MASt3RConfig.mast3r_full("bf16"),
+                (384, 512),
+            ),
+            (
+                "dunemast3r_base",
+                dict(enc_dim=768, enc_depth=12, enc_heads=12,
+                     dec_dim=768, dec_depth=12, dec_heads=12, patch_size=14),
+                lambda: MASt3RConfig.dunemast3r("base", "bf16"),
+                (252, 336),
+            ),
+        ],
+    )
+    def test_vitl_key_surface_and_shapes(self, family, tdims, fcfg, img_hw):
+        """Torch twin at REAL deployment dims on the meta device (no memory)
+        vs flax `jax.eval_shape` (no compute): key sets AND per-tensor torch
+        layouts must agree exactly — for the ViT-L/16 family and the
+        patch-14 dunemast3r family (VERDICT r3 item 2)."""
         from mast3r_slam_tpu.models.io import (
             _DENSE_AS_CONV1X1,
             _flax_path_to_torch_name,
@@ -672,20 +692,17 @@ class TestFullScaleReadiness:
         from mast3r_slam_tpu.models.mast3r import MASt3RNet
 
         with torch.device("meta"):
-            tm = TorchMASt3R(
-                enc_dim=1024, enc_depth=24, enc_heads=16,
-                dec_dim=768, dec_depth=12, dec_heads=12,
-                patch_size=16, head_type="dpt",
-            )
+            tm = TorchMASt3R(head_type="dpt", **tdims)
         theirs = {
             k: tuple(v.shape)
             for k, v in tm.state_dict().items()
             if not _is_ignored_key(k)
         }
 
-        cfg = MASt3RConfig.mast3r_full("bf16")
+        cfg = fcfg()
         net = MASt3RNet(cfg)
-        img = jax.ShapeDtypeStruct((1, 384, 512, 3), jnp.float32)
+        h, w = img_hw
+        img = jax.ShapeDtypeStruct((1, h, w, 3), jnp.float32)
         params = jax.eval_shape(net.init, jax.random.PRNGKey(0), img, img)
 
         def torch_shape(name: str, shape) -> tuple:
@@ -714,39 +731,70 @@ class TestFullScaleReadiness:
         }
         assert not mismatched, f"shape mismatches: {list(mismatched.items())[:8]}"
         # spot-pin the class-defining dims
-        assert theirs["enc_blocks.23.attn.qkv.weight"] == (3072, 1024)
-        assert theirs["dec_blocks2.11.cross_attn.projq.weight"] == (768, 768)
+        if family == "mast3r_full":
+            assert theirs["enc_blocks.23.attn.qkv.weight"] == (3072, 1024)
+            assert theirs["dec_blocks2.11.cross_attn.projq.weight"] == (768, 768)
+        else:
+            assert theirs["enc_blocks.11.attn.qkv.weight"] == (2304, 768)
+            assert theirs["patch_embed.proj.weight"] == (768, 3, 14, 14)
+            assert theirs[
+                "downstream_head1.head_local_features.fc2.weight"
+            ][0] == 25 * 14 * 14
 
-    def test_full_depth_synthetic_checkpoint_strict_load(self, tmp_path):
+    @pytest.mark.parametrize(
+        "family, patch, enc_depth, resolution",
+        [
+            ("vitl16", 16, 24, 64),   # ViT-L/16 depth structure
+            ("dune14", 14, 12, 56),   # dunemast3r patch-14 family (DUNE
+            #   encoder depth 12 + MASt3R decoder; VERDICT r3 item 2)
+        ],
+    )
+    def test_full_depth_synthetic_checkpoint_strict_load(
+        self, tmp_path, family, patch, enc_depth, resolution
+    ):
         """A synthetic upstream-named safetensors with the FULL key surface
-        (24 encoder + 12+12 decoder blocks, complete DPT + local-features
+        (all encoder + 12+12 decoder blocks, complete DPT + local-features
         heads, including the documented-dead upstream keys) round-trips
-        through disk and loads STRICT via models/io.load_checkpoint_into."""
+        through disk and loads STRICT via models/io.load_checkpoint_into —
+        for both deployment families (patch-16 ViT-L and patch-14 DUNE)."""
         from safetensors.numpy import save_file
 
         from mast3r_slam_tpu.models.io import load_checkpoint_into
 
         torch.manual_seed(0)
         tm = TorchMASt3R(
-            enc_dim=64, enc_depth=24, enc_heads=2,
+            enc_dim=64, enc_depth=enc_depth, enc_heads=2,
             dec_dim=48, dec_depth=12, dec_heads=2,
-            patch_size=16, head_type="dpt",
+            patch_size=patch, head_type="dpt",
         )
         state = _np_state_dict(tm)
-        assert any(k.startswith("enc_blocks.23.") for k in state)
+        assert any(k.startswith(f"enc_blocks.{enc_depth - 1}.") for k in state)
         assert any(k.startswith("dec_blocks2.11.") for k in state)
-        path = str(tmp_path / "synthetic_upstream.safetensors")
+        # patch-size-dependent geometry the key map must carry through:
+        # patch embed kernel and the pixel-shuffle local-features output
+        assert state["patch_embed.proj.weight"].shape == (64, 3, patch, patch)
+        assert state[
+            "downstream_head1.head_local_features.fc2.weight"
+        ].shape[0] == 25 * patch * patch
+        path = str(tmp_path / f"synthetic_upstream_{family}.safetensors")
         save_file(state, path)
 
         cfg = MASt3RConfig(
-            enc_embed_dim=64, enc_depth=24, enc_num_heads=2, patch_size=16,
+            enc_embed_dim=64, enc_depth=enc_depth, enc_num_heads=2,
+            patch_size=patch,
             dec_embed_dim=48, dec_depth=12, dec_num_heads=2,
             head_type="dpt", dtype=jnp.float32,
         )
-        fm = MASt3RModel.create(resolution=64, _test_cfg=cfg)
+        fm = MASt3RModel.create(resolution=resolution, _test_cfg=cfg)
         params = load_checkpoint_into(fm.params, path, strict=True)
         got = np.asarray(
-            params["params"]["encoder"]["blocks_23"]["attn"]["qkv"]["kernel"]
+            params["params"]["encoder"][f"blocks_{enc_depth - 1}"]["attn"][
+                "qkv"]["kernel"]
         )
-        want = state["enc_blocks.23.attn.qkv.weight"].T
+        want = state[f"enc_blocks.{enc_depth - 1}.attn.qkv.weight"].T
         np.testing.assert_allclose(got, want, rtol=1e-6)
+        got_fc2 = np.asarray(
+            params["params"]["local_head1"]["fc2"]["kernel"]
+        )
+        want_fc2 = state["downstream_head1.head_local_features.fc2.weight"].T
+        np.testing.assert_allclose(got_fc2, want_fc2, rtol=1e-6)

@@ -118,8 +118,14 @@ class FeatureFusionBlock(nn.Module):
             x = x + ResidualConvUnit(self.features, self.dtype, name="rcu_skip")(skip)
         x = ResidualConvUnit(self.features, self.dtype, name="rcu_out")(x)
         h, w = x.shape[1:3]
-        x = resize_bilinear_ac(x, h * 2, w * 2)
+        # out_conv (1x1) BEFORE the x2 align-corners resize: a 1x1 conv has
+        # no spatial support and the interp-matrix rows sum to 1, so
+        # conv(resize(x)) == resize(conv(x)) EXACTLY (bias included) — but
+        # running the conv first does its matmul at 1/4 the pixels. Upstream
+        # applies them in the other order (dpt_block.py FeatureFusionBlock);
+        # the imported out_conv weights are unchanged.
         x = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="out_conv")(x)
+        x = resize_bilinear_ac(x, h * 2, w * 2)
         return x
 
 

@@ -109,6 +109,7 @@ def _edge_system(
     K_intr: jax.Array | None,
     img_size: tuple[int, int] | None,
     p: GNParams,
+    variant: str = "base",
 ):
     """Build per-edge 7x7 system blocks S_e and gradients b_e.
 
@@ -215,13 +216,42 @@ def _edge_system(
     sw = jnp.sqrt(w)
 
     E, _, N = r.shape
-    # Weighted Jacobian [E, 7, 3N] and residual [E, 3N]: S = A A^T, b = A wr.
-    A = jnp.concatenate(
-        [sw[:, k : k + 1] * Jrows[k] for k in range(3)], axis=2
-    )  # [E, 7, 3N], last axis ordered [r0 all-n | r1 all-n | r2 all-n]
-    br = (sw * r).reshape(E, 3 * N)  # [E, 3N] — same row-major ordering
-    S = jnp.einsum("ecm,edm->ecd", A, A)  # [E, 7, 7]
-    b = jnp.einsum("ecm,em->ec", A, br)  # [E, 7]
+    vset = set(variant.split("+"))
+    if "bf16" in vset:
+        # bf16 edge transients: the [E,7,N] Jacobian rows and weighted
+        # residuals dominate the solve's HBM bytes; the 7x7 reductions
+        # accumulate in f32 on the MXU (preferred_element_type), so only
+        # the per-element transient storage loses precision.
+        sw = sw.astype(jnp.bfloat16)
+        r16 = r.astype(jnp.bfloat16)
+        Jrows = [j.astype(jnp.bfloat16) for j in Jrows]
+    else:
+        r16 = r
+    if "noconcat" in vset:
+        # S = A A^T with A = [A_0 | A_1 | A_2] equals sum_k A_k A_k^T —
+        # skip materializing the [E, 7, 3N] concat.
+        S = b = None
+        for k in range(3):
+            Ak = sw[:, k : k + 1] * Jrows[k]  # [E, 7, N]
+            rk = sw[:, k] * r16[:, k]  # [E, N]
+            Sk = jnp.einsum(
+                "ecm,edm->ecd", Ak, Ak, preferred_element_type=jnp.float32
+            )
+            bk = jnp.einsum(
+                "ecm,em->ec", Ak, rk, preferred_element_type=jnp.float32
+            )
+            S = Sk if S is None else S + Sk
+            b = bk if b is None else b + bk
+    else:
+        # Weighted Jacobian [E,7,3N] and residual [E,3N]: S = A A^T, b = A wr.
+        A = jnp.concatenate(
+            [sw[:, k : k + 1] * Jrows[k] for k in range(3)], axis=2
+        )  # [E, 7, 3N], last axis ordered [r0 all-n | r1 all-n | r2 all-n]
+        br = (sw * r16).reshape(E, 3 * N)  # [E, 3N] — same row-major ordering
+        S = jnp.einsum("ecm,edm->ecd", A, A, preferred_element_type=jnp.float32)
+        b = jnp.einsum("ecm,em->ec", A, br, preferred_element_type=jnp.float32)
+    S = S.astype(Twc.dtype)
+    b = b.astype(Twc.dtype)
     cost = 0.5 * jnp.sum(w * r * r)
     return S, b, cost
 
@@ -249,7 +279,7 @@ def _resolve_edge_chunk(E: int, n_pts: int, edge_chunk: int | None) -> int:
 
 def _edge_blocks(
     Twc_cur, Xi_t, Xj_t, ii, jj, weight_mask, Q, chunk,
-    mode, K_intr, img_size, p,
+    mode, K_intr, img_size, p, variant="base",
 ):
     """Per-edge 7x7 blocks S [E,7,7] and gradients b [E,7], scanning over
     edge chunks when the Jacobian working set would not fit (see
@@ -258,7 +288,7 @@ def _edge_blocks(
     if chunk == E:
         S, b, _cost = _edge_system(
             Twc_cur, Xi_t, Xj_t, ii, jj, weight_mask, Q,
-            mode, K_intr, img_size, p,
+            mode, K_intr, img_size, p, variant,
         )
         return S, b
 
@@ -266,7 +296,7 @@ def _edge_blocks(
         Xi_c, Xj_c, ii_c, jj_c, wm_c, Q_c = args
         S_c, b_c, cost_c = _edge_system(
             Twc_cur, Xi_c, Xj_c, ii_c, jj_c, wm_c, Q_c,
-            mode, K_intr, img_size, p,
+            mode, K_intr, img_size, p, variant,
         )
         return None, (S_c, b_c, cost_c)
 
@@ -297,7 +327,9 @@ def _assemble_Hg(K, ii, jj, S, b, dtype):
 
 @partial(
     jax.jit,
-    static_argnames=("mode", "img_size", "params", "edge_chunk", "mesh"),
+    static_argnames=(
+        "mode", "img_size", "params", "edge_chunk", "mesh", "variant",
+    ),
 )
 def gauss_newton_graph(
     Twc: jax.Array,  # [K, 8]
@@ -316,6 +348,7 @@ def gauss_newton_graph(
     params: GNParams = GNParams(),
     edge_chunk: int | None = None,
     mesh=None,
+    variant: str = "base",
 ) -> tuple[jax.Array, jax.Array]:
     """Global Sim3 pose-graph GN over dense correspondences.
 
@@ -372,7 +405,7 @@ def gauss_newton_graph(
         if mesh is None:
             S, b = _edge_blocks(
                 Twc_cur, Xi_t, Xj_t, ii, jj, weight_mask, Q, chunk,
-                mode, K_intr, img_size, p,
+                mode, K_intr, img_size, p, variant,
             )
             H, g = _assemble_Hg(K, ii, jj, S, b, Twc.dtype)
         else:
@@ -385,7 +418,7 @@ def gauss_newton_graph(
             def local(Twc_l, Xi_l, Xj_l, ii_l, jj_l, wm_l, Q_l):
                 S_l, b_l = _edge_blocks(
                     Twc_l, Xi_l, Xj_l, ii_l, jj_l, wm_l, Q_l, chunk,
-                    mode, K_intr, img_size, p,
+                    mode, K_intr, img_size, p, variant,
                 )
                 H_l, g_l = _assemble_Hg(K, ii_l, jj_l, S_l, b_l, Twc.dtype)
                 return (

@@ -132,6 +132,15 @@ class LocalOptConfig:
     # sequence end. Trajectory effect: pose corrections land at most one
     # frame later than the reference's serialized drain.
     backend_tasks_per_frame: int = 1
+    # Edge-system build variant for the graph solve (ops/gauss_newton.py):
+    # "base" materializes the [E,7,3N] concat; "noconcat" computes
+    # S = sum_k A_k A_k^T without it — algebraically identical (pinned in
+    # tests/test_gauss_newton.py::TestSolveVariants) and measured 1.5x
+    # faster at full scale on v5e (92 vs 140 ms per 10-iter 8KFx196kx32-edge
+    # solve, scripts/profile_backend_solve.py round 4). "+bf16" additionally
+    # stores edge transients in bfloat16 (f32 MXU accumulation): 86 ms,
+    # loose-band equivalence only — opt-in.
+    solve_variant: str = "noconcat"
 
 
 @dataclass

@@ -311,6 +311,7 @@ class FactorGraph:
             mode=mode,
             params=self._params(),
             mesh=self.mesh,
+            variant=self.cfg.solve_variant,
             **kwargs,
         )
         unique, pin = prep["unique"], prep["pin"]

@@ -141,6 +141,14 @@ class LocalOptConfig:
     # stores edge transients in bfloat16 (f32 MXU accumulation): 86 ms,
     # loose-band equivalence only — opt-in.
     solve_variant: str = "noconcat"
+    # j-side point subsample stride for the graph solve. The round-4 v5e
+    # profile shows the solve is ~linear in the j-side point count (59%
+    # one-time correspondence gather + HBM-bound iteration streams), so
+    # stride s cuts the whole keyframe-burst solve ~s-fold. 1 = reference
+    # parity (every pixel); ATE effect at stride 2/4 measured on the
+    # system oracle (tests/test_gauss_newton.py::TestPointStride,
+    # docs/PLAN.md round-4 decisions).
+    point_stride: int = 1
 
 
 @dataclass

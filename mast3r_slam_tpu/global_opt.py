@@ -312,6 +312,7 @@ class FactorGraph:
             params=self._params(),
             mesh=self.mesh,
             variant=self.cfg.solve_variant,
+            point_stride=self.cfg.point_stride,
             **kwargs,
         )
         unique, pin = prep["unique"], prep["pin"]

@@ -329,6 +329,7 @@ def _assemble_Hg(K, ii, jj, S, b, dtype):
     jax.jit,
     static_argnames=(
         "mode", "img_size", "params", "edge_chunk", "mesh", "variant",
+        "point_stride",
     ),
 )
 def gauss_newton_graph(
@@ -349,6 +350,7 @@ def gauss_newton_graph(
     edge_chunk: int | None = None,
     mesh=None,
     variant: str = "base",
+    point_stride: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Global Sim3 pose-graph GN over dense correspondences.
 
@@ -370,16 +372,30 @@ def gauss_newton_graph(
     p = params
     K = Twc.shape[0]
 
+    # Deployment lever (round-4 profile): the solve is 59% one-time
+    # correspondence gather (E x N arbitrary rows at the chip's streaming
+    # gather rate) + HBM-bound per-iteration streams — BOTH linear in the
+    # j-side point count. point_stride s keeps every s-th j-side pixel
+    # (the i-side source stays full-resolution: indices point anywhere),
+    # cutting the whole solve ~s-fold. The LSQ solution is a uniform
+    # subsample of the same objective and the Levenberg floor is relative
+    # to diag(H), so stride changes constraint count, not scaling.
+    # Default 1 = reference parity (every pixel).
+    if point_stride > 1:
+        idx_ii2jj = idx_ii2jj[:, ::point_stride]
+        valid_match = valid_match[:, ::point_stride]
+        Q = Q[:, ::point_stride]
+
     # Pose-independent gathers, hoisted OUT of the iteration loop and
     # PACKED into one wide-row gather (X 3 lanes + C 1 lane share
     # idx_ii2jj; TPU gathers pay per row): the solver used to re-gather
     # E x N i-side points inside every while_loop iteration.
     src = jnp.concatenate([Xs, Cs[..., None]], axis=-1)[ii]  # [E, N, 4]
     gath = jnp.take_along_axis(src, idx_ii2jj[..., None], axis=1)
-    Xi_t = gath[..., :3].transpose(0, 2, 1)  # [E, 3, N]
-    Ci = gath[..., 3]  # [E, N]
-    Xj_t = Xs[jj].transpose(0, 2, 1)  # [E, 3, N]
-    Cj = Cs[jj]
+    Xi_t = gath[..., :3].transpose(0, 2, 1)  # [E, 3, Ns]
+    Ci = gath[..., 3]  # [E, Ns]
+    Xj_t = Xs[jj][:, ::point_stride].transpose(0, 2, 1)  # [E, 3, Ns]
+    Cj = Cs[jj][:, ::point_stride]
     weight_mask = (
         valid_match
         & (Q > p.Q_thresh)
@@ -397,9 +413,9 @@ def gauss_newton_graph(
             raise ValueError(
                 f"edge count {E} not divisible by dp axis {n_dp}"
             )
-        chunk = _resolve_edge_chunk(E // n_dp, Xs.shape[1], edge_chunk)
+        chunk = _resolve_edge_chunk(E // n_dp, Xi_t.shape[2], edge_chunk)
     else:
-        chunk = _resolve_edge_chunk(E, Xs.shape[1], edge_chunk)
+        chunk = _resolve_edge_chunk(E, Xi_t.shape[2], edge_chunk)
 
     def step(Twc_cur):
         if mesh is None:

@@ -298,6 +298,55 @@ class TestSolveVariants:
             )
 
 
+class TestPointStride:
+    """`point_stride` subsamples the j-side correspondence rows of the
+    graph solve (deployment lever: the full-scale solve is ~linear in the
+    point count — round-4 profile, docs/PLAN.md). Stride 1 must be
+    bit-identical to the unstrided call; stride 2/4 must still converge
+    to the ground-truth poses on a clean problem."""
+
+    def test_stride_one_is_identity(self, rng):
+        prob = make_graph_problem(rng, num_kf=4, h=8, w=12, num_edges=8)
+        Twc0 = perturb_poses(rng, prob["Twc_gt"], mag=0.03)
+        edge_mask = jnp.ones(prob["ii"].shape[0], bool)
+        params = GNParams(max_iter=5, delta_thresh=0.0)
+        args = (
+            Twc0, prob["Xs"], prob["Cs"], prob["ii"], prob["jj"],
+            prob["idx"], prob["valid"], prob["Q"], edge_mask, _free_mask(4),
+        )
+        base, _ = gauss_newton_graph(*args, mode="rays", params=params)
+        out, _ = gauss_newton_graph(
+            *args, mode="rays", params=params, point_stride=1
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
+
+    @pytest.mark.parametrize("stride", [2, 4])
+    @pytest.mark.parametrize("mode", ["rays", "points"])
+    def test_strided_solve_converges_to_gt(self, rng, stride, mode):
+        prob = make_graph_problem(rng, num_kf=4, h=8, w=12, num_edges=8)
+        Twc0 = perturb_poses(rng, prob["Twc_gt"], mag=0.03)
+        edge_mask = jnp.ones(prob["ii"].shape[0], bool)
+        params = GNParams(max_iter=10, delta_thresh=0.0)
+        out, _ = gauss_newton_graph(
+            Twc0, prob["Xs"], prob["Cs"], prob["ii"], prob["jj"],
+            prob["idx"], prob["valid"], prob["Q"], edge_mask, _free_mask(4),
+            mode=mode, params=params, point_stride=stride,
+        )
+        full, _ = gauss_newton_graph(
+            Twc0, prob["Xs"], prob["Cs"], prob["ii"], prob["jj"],
+            prob["idx"], prob["valid"], prob["Q"], edge_mask, _free_mask(4),
+            mode=mode, params=params,
+        )
+        # Strided solution solves a uniform subsample of the same LSQ: it
+        # must land near both the full solution and the ground truth.
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(full), rtol=0, atol=5e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(prob["Twc_gt"]), rtol=0, atol=2e-2
+        )
+
+
 class TestShardedGraphSolve:
     def test_edge_sharded_matches_unsharded(self, rng):
         """Edge axis shard_map'd over the 8-device 'dp' mesh + psum must

@@ -289,13 +289,16 @@ class FactorGraph:
         if prep is None:
             return
         Xs = prep["Xs"]
-        kwargs = {}
+        # img_size is passed in every mode: the calib residual needs it, and
+        # point_stride > 1 uses it for the spatially uniform 2-D subsample
+        # lattice (ops/gauss_newton._stride_indices).
+        img_size = (self.frames.h, self.frames.w)
+        kwargs = {"img_size": img_size}
         if mode == "calib":
             if self.K is None:
                 raise ValueError("Intrinsics K required for calibrated mode")
-            img_size = (self.frames.h, self.frames.w)
             Xs = constrain_points_to_ray(img_size, Xs, self.K)
-            kwargs = dict(K_intr=self.K, img_size=img_size)
+            kwargs["K_intr"] = self.K
 
         Twc_new, _ = gauss_newton_graph(
             prep["Twc"],

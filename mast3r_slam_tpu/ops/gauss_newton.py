@@ -49,6 +49,26 @@ from mast3r_slam_tpu.lie import core as lie
 from mast3r_slam_tpu.ops.linalg import cholesky_solve
 
 
+def _stride_indices(N: int, stride: int, img_size) -> "np.ndarray":
+    """Static flattened-pixel indices for `point_stride` subsampling.
+
+    A plain `[::stride]` on row-major HxW pixels with W divisible by the
+    stride keeps only every stride-th COLUMN (full vertical resolution,
+    1/stride horizontal) — an anisotropic lattice. When the image shape is
+    known, shift the column phase by (row mod stride) so the kept pixels
+    form a diagonal (checkerboard-like) lattice with spatially uniform
+    constraint coverage. Without img_size the plain stride is used.
+    """
+    import numpy as np
+
+    base = np.arange(0, N, stride, dtype=np.int32)
+    if img_size is not None:
+        h, w = img_size
+        if h * w == N:
+            base = np.minimum(base + (base // w) % stride, N - 1)
+    return base
+
+
 def huber_weight(r: jax.Array, k: float = 1.345) -> jax.Array:
     """IRLS Huber weight: 1 inside the k-tube, k/|r| outside."""
     r_abs = jnp.abs(r)
@@ -372,19 +392,28 @@ def gauss_newton_graph(
     p = params
     K = Twc.shape[0]
 
+    if point_stride < 1:
+        raise ValueError(f"point_stride must be >= 1, got {point_stride}")
+
     # Deployment lever (round-4 profile): the solve is 59% one-time
     # correspondence gather (E x N arbitrary rows at the chip's streaming
     # gather rate) + HBM-bound per-iteration streams — BOTH linear in the
-    # j-side point count. point_stride s keeps every s-th j-side pixel
+    # j-side point count. point_stride s keeps ~every s-th j-side pixel
     # (the i-side source stays full-resolution: indices point anywhere),
-    # cutting the whole solve ~s-fold. The LSQ solution is a uniform
-    # subsample of the same objective and the Levenberg floor is relative
-    # to diag(H), so stride changes constraint count, not scaling.
-    # Default 1 = reference parity (every pixel).
+    # cutting the whole solve ~s-fold. The strided problem is a subsample
+    # of the same objective (spatially uniform when img_size is known —
+    # see _stride_indices; a plain 1-D stride otherwise) and the Levenberg
+    # floor is relative to diag(H), so stride changes constraint count,
+    # not scaling. Default 1 = reference parity (every pixel).
     if point_stride > 1:
-        idx_ii2jj = idx_ii2jj[:, ::point_stride]
-        valid_match = valid_match[:, ::point_stride]
-        Q = Q[:, ::point_stride]
+        sub = jnp.asarray(
+            _stride_indices(idx_ii2jj.shape[1], point_stride, img_size)
+        )
+        idx_ii2jj = idx_ii2jj[:, sub]
+        valid_match = valid_match[:, sub]
+        Q = Q[:, sub]
+    else:
+        sub = None
 
     # Pose-independent gathers, hoisted OUT of the iteration loop and
     # PACKED into one wide-row gather (X 3 lanes + C 1 lane share
@@ -394,8 +423,9 @@ def gauss_newton_graph(
     gath = jnp.take_along_axis(src, idx_ii2jj[..., None], axis=1)
     Xi_t = gath[..., :3].transpose(0, 2, 1)  # [E, 3, Ns]
     Ci = gath[..., 3]  # [E, Ns]
-    Xj_t = Xs[jj][:, ::point_stride].transpose(0, 2, 1)  # [E, 3, Ns]
-    Cj = Cs[jj][:, ::point_stride]
+    Xj = Xs[jj] if sub is None else Xs[jj][:, sub]  # [E, Ns, 3]
+    Xj_t = Xj.transpose(0, 2, 1)  # [E, 3, Ns]
+    Cj = Cs[jj] if sub is None else Cs[jj][:, sub]
     weight_mask = (
         valid_match
         & (Q > p.Q_thresh)

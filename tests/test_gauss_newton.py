@@ -305,20 +305,64 @@ class TestPointStride:
     bit-identical to the unstrided call; stride 2/4 must still converge
     to the ground-truth poses on a clean problem."""
 
-    def test_stride_one_is_identity(self, rng):
+    @pytest.mark.parametrize("img_size", [None, (8, 12)])
+    def test_stride_two_matches_masked_full_solve(self, rng, img_size):
+        """Pins the stride SEMANTICS: the strided solve must equal the
+        full-resolution solve whose valid_match is zeroed outside the
+        selected columns — i.e. stride really is a subsample of the same
+        objective, for both the plain-1D and the 2D-aware lattice."""
+        from mast3r_slam_tpu.ops.gauss_newton import _stride_indices
+
         prob = make_graph_problem(rng, num_kf=4, h=8, w=12, num_edges=8)
         Twc0 = perturb_poses(rng, prob["Twc_gt"], mag=0.03)
         edge_mask = jnp.ones(prob["ii"].shape[0], bool)
         params = GNParams(max_iter=5, delta_thresh=0.0)
-        args = (
+        N = prob["idx"].shape[1]
+        sub = _stride_indices(N, 2, img_size)
+        masked = np.zeros_like(np.asarray(prob["valid"]))
+        masked[:, sub] = np.asarray(prob["valid"])[:, sub]
+        out, _ = gauss_newton_graph(
             Twc0, prob["Xs"], prob["Cs"], prob["ii"], prob["jj"],
             prob["idx"], prob["valid"], prob["Q"], edge_mask, _free_mask(4),
+            mode="rays", params=params, point_stride=2, img_size=img_size,
         )
-        base, _ = gauss_newton_graph(*args, mode="rays", params=params)
-        out, _ = gauss_newton_graph(
-            *args, mode="rays", params=params, point_stride=1
+        full_masked, _ = gauss_newton_graph(
+            Twc0, prob["Xs"], prob["Cs"], prob["ii"], prob["jj"],
+            prob["idx"], jnp.asarray(masked), prob["Q"], edge_mask,
+            _free_mask(4), mode="rays", params=params,
         )
-        np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(full_masked), rtol=1e-5, atol=1e-5
+        )
+
+    def test_stride_indices_2d_lattice_is_uniform(self):
+        """With img_size, the kept pixels shift column phase per row
+        (diagonal lattice) instead of keeping only even columns."""
+        from mast3r_slam_tpu.ops.gauss_newton import _stride_indices
+
+        h, w = 4, 8
+        sub = _stride_indices(h * w, 2, (h, w))
+        cols_by_row = {r: set() for r in range(h)}
+        for k in sub:
+            cols_by_row[k // w].add(k % w)
+        # Even rows keep even columns, odd rows keep odd columns — every
+        # column index appears somewhere (no dropped-column anisotropy).
+        assert cols_by_row[0] == {0, 2, 4, 6}
+        assert cols_by_row[1] == {1, 3, 5, 7}
+        assert set().union(*cols_by_row.values()) == set(range(w))
+        # Plain-1D fallback keeps only even columns at even w.
+        plain = _stride_indices(h * w, 2, None)
+        assert all(k % 2 == 0 for k in plain)
+
+    def test_invalid_stride_rejected(self, rng):
+        prob = make_graph_problem(rng, num_kf=4, h=8, w=12, num_edges=8)
+        edge_mask = jnp.ones(prob["ii"].shape[0], bool)
+        with pytest.raises(ValueError, match="point_stride"):
+            gauss_newton_graph(
+                prob["Twc_gt"], prob["Xs"], prob["Cs"], prob["ii"],
+                prob["jj"], prob["idx"], prob["valid"], prob["Q"],
+                edge_mask, _free_mask(4), mode="rays", point_stride=0,
+            )
 
     @pytest.mark.parametrize("stride", [2, 4])
     @pytest.mark.parametrize("mode", ["rays", "points"])

@@ -214,24 +214,154 @@ def import_torch_state_dict(
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
-def load_checkpoint_into(params, path: str, strict: bool = True):
-    """Load a local safetensors / .npz / torch .pth checkpoint."""
+def load_state_dict_file(path: str) -> dict[str, np.ndarray]:
+    """Read a safetensors / .npz / torch .pth state dict as numpy arrays.
+
+    Torch checkpoints may wrap the state dict as ``{"model": ..., "args":
+    ...}`` (naver releases do); extra top-level entries are dropped.
+    """
     if path.endswith(".npz"):
-        state = dict(np.load(path))
-    elif path.endswith((".pth", ".pt", ".bin")):
+        return dict(np.load(path))
+    if path.endswith((".pth", ".pt", ".bin")):
         import torch
 
         raw = torch.load(path, map_location="cpu", weights_only=False)
         if isinstance(raw, dict) and "model" in raw:
             raw = raw["model"]  # naver releases wrap the state dict
-        state = {
-            k.removeprefix("module."): v.detach().numpy() for k, v in raw.items()
+        return {
+            k.removeprefix("module."): v.detach().to(torch.float32).numpy()
+            if hasattr(v, "detach") else np.asarray(v)
+            for k, v in raw.items()
         }
-    else:
-        from safetensors.numpy import load_file
+    from safetensors.numpy import load_file
 
-        state = load_file(path)
+    return load_file(path)
+
+
+def load_checkpoint_into(params, path: str, strict: bool = True):
+    """Load a local safetensors / .npz / torch .pth checkpoint."""
+    state = load_state_dict_file(path)
     return import_torch_state_dict(params, state, strict=strict)
+
+
+# -- naver retrieval head ----------------------------------------------------
+
+def is_retrieval_state_dict(state: dict[str, np.ndarray]) -> bool:
+    """Heuristic: a naver retrieval checkpoint carries attention + one of
+    prewhiten/projector/postwhiten, and no decoder/head keys."""
+    keys = set(state)
+    has_att = "attention.weight" in keys
+    has_head = any(
+        k.startswith(("prewhiten.", "projector.", "postwhiten.")) for k in keys
+    )
+    has_backbone_heads = any(k.startswith("downstream_head") for k in keys)
+    return has_att and has_head and not has_backbone_heads
+
+
+def import_retrieval_state_dict(params, state: dict[str, np.ndarray]):
+    """Map a naver retrieval checkpoint onto RetrievalNet params.
+
+    The upstream retrieval model (naver mast3r ``retrieval/model.py``; the
+    reference consumes it through its absent external package, reference
+    mast3r_utils.py:671-694) is, per released config::
+
+        y   = (x - prewhiten.m) @ prewhiten.p          # token whitening
+        y   = y @ projector.0.weight.T + projector.0.bias   # single Linear
+        a   = attention(y)                             # Linear(hdim, 1)
+        g   = aggregate(y, a)                          # weighted mean here
+        sig = l2norm((g - postwhiten.m) @ postwhiten.p)
+
+    Both affine stages BEFORE attention fold exactly into the single
+    ``whiten`` Dense (kernel = P_pre @ W_proj.T, bias = b_proj - m_pre @
+    kernel), because attention and aggregation here consume the folded
+    output; postwhiten commutes with the weighted mean (affine map of an
+    affine combination) and loads into the ``postwhiten`` Dense. Whitener
+    parameters are stored double upstream — cast to f32 on load.
+
+    Raises on a multi-layer projector (hdims beyond the released
+    single-Linear config add LayerNorm+GELU stages that cannot fold) and on
+    any unrecognized non-backbone key.
+    """
+    import flax
+
+    state = {k.removeprefix("module."): np.asarray(v) for k, v in state.items()}
+    known: set[str] = set()
+
+    def take(name):
+        if name in state:
+            known.add(name)
+            return np.asarray(state[name], np.float32)
+        return None
+
+    proj_linear_idx = sorted(
+        {
+            int(m.group(1))
+            for k in state
+            if (m := re.match(r"^projector\.(\d+)\.weight$", k))
+        }
+    )
+    if proj_linear_idx not in ([], [0]):
+        raise NotImplementedError(
+            "retrieval checkpoint has a multi-layer projector "
+            f"(linear indices {proj_linear_idx}); only the released "
+            "single-Linear config (hdims=[backbone_dim]) folds into the "
+            "whiten Dense"
+        )
+
+    tree = flax.core.unfreeze(params) if isinstance(
+        params, flax.core.FrozenDict
+    ) else jax.tree_util.tree_map(np.asarray, params)
+    p = tree["params"]
+    d_in, d_out = np.asarray(p["whiten"]["kernel"]).shape
+
+    m_pre, P_pre = take("prewhiten.m"), take("prewhiten.p")
+    W_proj, b_proj = take("projector.0.weight"), take("projector.0.bias")
+    att_w, att_b = take("attention.weight"), take("attention.bias")
+    m_post, P_post = take("postwhiten.m"), take("postwhiten.p")
+
+    kernel = np.eye(d_in, dtype=np.float32)
+    bias = np.zeros(d_in, dtype=np.float32)
+    if P_pre is not None:
+        m = np.zeros(d_in, np.float32) if m_pre is None else m_pre.reshape(-1)
+        kernel = P_pre
+        bias = -(m @ P_pre)
+    if W_proj is not None:
+        kernel = kernel @ W_proj.T
+        bias = bias @ W_proj.T + (0.0 if b_proj is None else b_proj)
+        if b_proj is not None:
+            known.add("projector.0.bias")
+    if kernel.shape != (d_in, d_out):
+        raise ValueError(
+            f"retrieval fold produced kernel {kernel.shape}, RetrievalNet "
+            f"whiten expects {(d_in, d_out)} — backbone_dim mismatch"
+        )
+    p["whiten"]["kernel"] = kernel
+    p["whiten"]["bias"] = bias.reshape(d_out)
+
+    if att_w is None or att_b is None:
+        raise KeyError("retrieval checkpoint missing attention.{weight,bias}")
+    p["attention"]["kernel"] = att_w.T  # [1, D] -> [D, 1]
+    p["attention"]["bias"] = att_b
+
+    if P_post is not None:
+        m = np.zeros(d_out, np.float32) if m_post is None else m_post.reshape(-1)
+        p["postwhiten"]["kernel"] = P_post
+        p["postwhiten"]["bias"] = -(m @ P_post)
+
+    unexpected = sorted(
+        k for k in set(state) - known if not k.startswith("backbone.")
+    )
+    if unexpected:
+        raise KeyError(
+            f"retrieval checkpoint has {len(unexpected)} unrecognized "
+            f"non-backbone keys, e.g. {unexpected[:8]}"
+        )
+    import jax.numpy as jnp
+
+    tree["params"] = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), p
+    )
+    return tree
 
 
 def save_checkpoint(params, path: str) -> None:

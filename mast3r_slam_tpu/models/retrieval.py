@@ -38,9 +38,18 @@ class RetrievalNet(nn.Module):
             name="whiten",
         )(feat)
         # Attention: positive per-token weight from feature energy.
-        att_logit = nn.Dense(1, name="attention")(feat)
+        att_logit = nn.Dense(1, name="attention")(w)
         att = nn.softplus(att_logit) + 1e-6
         sig = jnp.sum(w * att, axis=-2) / jnp.sum(att, axis=-2)
+        # Post-aggregation whitening slot (upstream naver retrieval applies
+        # a second Whitener to the aggregated descriptor; identity when no
+        # checkpoint is loaded, so the unfitted forward is unchanged).
+        sig = nn.Dense(
+            self.out_dim,
+            kernel_init=_eye_init,
+            bias_init=nn.initializers.zeros,
+            name="postwhiten",
+        )(sig)
         sig = sig / jnp.maximum(jnp.linalg.norm(sig, axis=-1, keepdims=True), 1e-8)
         return w, att, sig
 
@@ -62,11 +71,21 @@ class RetrievalModel:
 
     @classmethod
     def from_pretrained(cls, backbone_dim: int = 1024, checkpoint: str | None = None):
+        """Build the head; with `checkpoint`, load a naver retrieval .pth
+        (prewhiten/projector/attention/postwhiten — folded via
+        io.import_retrieval_state_dict) or a generic state dict targeting
+        our param names directly."""
         model = cls(backbone_dim)
         if checkpoint:
-            from mast3r_slam_tpu.models.io import load_checkpoint_into
+            from mast3r_slam_tpu.models import io
 
-            model.params = load_checkpoint_into(model.params, checkpoint)
+            state = io.load_state_dict_file(checkpoint)
+            if io.is_retrieval_state_dict(state):
+                model.params = io.import_retrieval_state_dict(
+                    model.params, state
+                )
+            else:
+                model.params = io.import_torch_state_dict(model.params, state)
         return model
 
     def forward_features(self, feat: jax.Array):

@@ -25,6 +25,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -73,8 +74,17 @@ def build_pair(h: int, w: int, seed: int = 3):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="toy dims (smoke)")
-    ap.add_argument("--out", default=str(REPO / "docs" / "fullscale_parity.json"))
+    ap.add_argument(
+        "--family", choices=("vitl", "dune"), default="vitl",
+        help="deployment family: vitl = mast3r_full ViT-L/16 @512; "
+        "dune = dunemast3r-base patch-14 DUNE encoder @336 (the fast.yaml "
+        "profile; reference mast3r_utils.py:56-60,104-111)",
+    )
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.out is None:
+        suffix = "_dune" if args.family == "dune" else ""
+        args.out = str(REPO / "docs" / f"fullscale_parity{suffix}.json")
 
     import numpy as np
     import torch
@@ -89,22 +99,31 @@ def main() -> int:
 
     if args.quick:
         tdims = dict(enc_dim=64, enc_depth=2, enc_heads=2,
-                     dec_dim=48, dec_depth=2, dec_heads=2)
+                     dec_dim=48, dec_depth=2, dec_heads=2, patch_size=16)
         fcfg = MASt3RConfig(
             enc_embed_dim=64, enc_depth=2, enc_num_heads=2, patch_size=16,
             dec_embed_dim=48, dec_depth=2, dec_num_heads=2,
             head_type="dpt", dtype=jnp.float32)
         res, h, w = 64, 48, 64
+    elif args.family == "dune":
+        # dunemast3r-base: DUNE ViT-B encoder (768/12, patch 14) + the same
+        # 768/12 dual decoder + DPT heads, 252x336 input (the 336-px
+        # operating point of configs/fast.yaml).
+        tdims = dict(enc_dim=768, enc_depth=12, enc_heads=12,
+                     dec_dim=768, dec_depth=12, dec_heads=12, patch_size=14)
+        fcfg = dataclasses.replace(
+            MASt3RConfig.dunemast3r("base", "fp32"), dtype=jnp.float32)
+        res, h, w = 336, 252, 336
     else:
         tdims = dict(enc_dim=1024, enc_depth=24, enc_heads=16,
-                     dec_dim=768, dec_depth=12, dec_heads=12)
+                     dec_dim=768, dec_depth=12, dec_heads=12, patch_size=16)
         fcfg = MASt3RConfig(dtype=jnp.float32)  # ViT-L defaults, fp32
         res, h, w = 512, 384, 512
 
     print(f"[1/5] torch twin at {tdims} ...", flush=True)
     t0 = time.time()
     torch.manual_seed(7)
-    tm = TorchMASt3R(patch_size=16, head_type="dpt", **tdims)
+    tm = TorchMASt3R(head_type="dpt", **tdims)
     # Same weight conditioning as the toy parity tests (test_torch_twin
     # _torch_model): perturb every parameter away from symmetric inits so
     # layout mistakes cannot cancel, then scale the exp-consuming output
@@ -199,7 +218,7 @@ def main() -> int:
     report: dict = {
         "config": {
             **tdims,
-            "patch_size": 16,
+            "family": "quick" if args.quick else args.family,
             "head_type": "dpt",
             "input_hw": [h, w],
             "dtype": "float32",

@@ -194,11 +194,20 @@ class PatchEmbed(nn.Module):
 
 
 class Interpolate(nn.Module):
+    """Upstream uses a fixed x2; for the patch-14 DUNE family the head must
+    land on the true image size (hp*16 != H when p=14), so the DPT forward
+    sets `size` per call — identical to x2 at patch 16 (hp*16 == H)."""
+
     def __init__(self, scale_factor):
         super().__init__()
         self.scale_factor = scale_factor
+        self.size = None
 
     def forward(self, x):
+        if self.size is not None:
+            return F.interpolate(
+                x, size=self.size, mode="bilinear", align_corners=True
+            )
         return F.interpolate(
             x, scale_factor=self.scale_factor, mode="bilinear", align_corners=True
         )
@@ -275,7 +284,9 @@ class DPT(nn.Module):
             nn.Conv2d(32, out_channels, 1),
         )
 
-    def forward(self, hooks, hp, wp):
+    def forward(self, hooks, hp, wp, out_hw=None):
+        if out_hw is not None:
+            self.head[1].size = tuple(out_hw)
         layers = [t.transpose(1, 2).reshape(t.shape[0], -1, hp, wp) for t in hooks]
         layers = [self.act_postprocess[i](l) for i, l in enumerate(layers)]
         l1 = self.scratch.layer1_rn(layers[0])
@@ -307,7 +318,7 @@ class CatMLPDPTHead(nn.Module):
         p = self.patch_size
         hp, wp = H // p, W // p
         hooks = [decout[i] for i in hooks_idx]
-        pts3d = self.dpt(hooks, hp, wp)  # [B, 4, H, W]
+        pts3d = self.dpt(hooks, hp, wp, out_hw=(H, W))  # [B, 4, H, W]
 
         enc_output, dec_output = decout[0], decout[-1]
         cat_output = torch.cat([enc_output, dec_output], dim=-1)

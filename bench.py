@@ -35,6 +35,24 @@ import time
 BASELINE_FPS = 4.6
 
 
+def _measure_rtt_ms(n: int = 6) -> list[float]:
+    """Sample the host<->device round-trip: dispatch a trivial program with
+    a DISTINCT input each call (the relay serves repeated identical
+    executions from a result cache) and fetch the scalar. Records the link
+    health INTO the bench output so orchestrated readings are
+    self-adjudicating (VERDICT r4: every orchestrated number in history
+    needed after-the-fact relay forensics)."""
+    import jax.numpy as jnp
+
+    float(jnp.sum(jnp.full((8, 8), 777.0)))  # absorb compile
+    out = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        float(jnp.sum(jnp.full((8, 8), float(i))))
+        out.append(round((time.perf_counter() - t0) * 1e3, 2))
+    return out
+
+
 def _device_watchdog(timeout_s: float = 180.0, retries: int = 15) -> None:
     """Fail fast (instead of hanging the driver) if the device tunnel is
     wedged: probe a trivial op from a side thread; on timeout, wait and
@@ -278,15 +296,36 @@ def main() -> int:
 
     sync_every = slam.config.runtime.sync_every
     n_run = 6 * sync_every
+    rtt_before = _measure_rtt_ms()
     quiet = io.StringIO()
+    t_orch0 = time.perf_counter()
     with contextlib.redirect_stdout(quiet):
         slam.run(Synthetic(), max_frames=n_run, callback=cb)
+    rtt_after = _measure_rtt_ms()
     steady = 3 * sync_every  # last 3 whole windows
     orchestrated = steady / (stamps[-1] - stamps[-1 - steady])
+    # Per-window host timeline: frames complete in bursts at each window
+    # drain, so the window-final stamps ARE the host-side schedule. Recorded
+    # into the bench JSON so a regressed orchestrated reading carries its
+    # own diagnosis (uniform windows + low RTT = device-bound; one giant
+    # window or RTT spikes = relay wedge; first-window outlier = warmup).
+    wfinal = [stamps[k * sync_every - 1] - t_orch0
+              for k in range(1, len(stamps) // sync_every + 1)]
+    window_ms = [round((b - a) * 1e3, 1) for a, b in zip(wfinal, wfinal[1:])]
+    orch_diag = {
+        "fps": round(orchestrated, 2),
+        "sync_every": sync_every,
+        "rtt_ms_before": rtt_before,
+        "rtt_ms_after": rtt_after,
+        "window_final_ms": window_ms,
+        "steady_windows_used": 3,
+    }
     print(
         f"[bench] orchestrated SLAM steady-state (zero-sync chained loop, "
         f"1 relay round trip per {sync_every} frames): "
-        f"{orchestrated:.2f} FPS",
+        f"{orchestrated:.2f} FPS  rtt(before/after)="
+        f"{min(rtt_before):.0f}-{max(rtt_before):.0f}/"
+        f"{min(rtt_after):.0f}-{max(rtt_after):.0f} ms  windows_ms={window_ms}",
         file=sys.stderr,
     )
 
@@ -353,6 +392,7 @@ def main() -> int:
         print(f"[bench] full-program leg skipped: {e}", file=sys.stderr)
 
     # ---- serving throughput (B sequences per dispatch, secondary) ---------
+    serving_results = {}
     try:
         from mast3r_slam_tpu.serving import BatchTracker
 
@@ -381,6 +421,7 @@ def main() -> int:
             stats = np.asarray(jnp.stack(handles))  # ONE fetch, all batches
             dt = (time.perf_counter() - t0) / k
             assert stats.shape[0] == k
+            serving_results[B] = B / dt
             print(
                 f"[bench] serving: {B} sequences/dispatch -> "
                 f"{B/dt:.1f} tracked frames/s ({dt*1e3:.1f} ms/batch, stats "
@@ -390,6 +431,32 @@ def main() -> int:
     except Exception as e:  # serving must never sink the headline metric
         print(f"[bench] serving leg skipped: {e}", file=sys.stderr)
 
+    # ---- chip-normalized achieved rates (analytic cost model) -------------
+    # FLOP/byte totals from benchmarks/cost_model.py (validated against XLA
+    # cost analysis in tests/test_cost_model.py) so every leg's number is
+    # normalized to hardware peaks — "fast on this chip" becomes %MXU /
+    # %HBM-weight-stream, and future regressions are attributable.
+    mfu: dict = {}
+    try:
+        from benchmarks.cost_model import leg_summary, model_costs
+
+        stages = model_costs(model.cfg, h, w)
+        if fps_full is not None:
+            mfu["window_program"] = leg_summary(
+                stages, ("encode", "decode", "heads", "matcher"),
+                1.0 / fps_full)
+        # device-chained step decodes from cached features (no encode)
+        mfu["device_step"] = leg_summary(
+            stages, ("decode", "heads", "matcher"), 1.0 / fps_device)
+        # the serving leg feeds pre-encoded features (step_async), so its
+        # per-frame program is decode+heads+matcher
+        for B, tfs in serving_results.items():
+            mfu[f"serving_b{B}"] = leg_summary(
+                stages, ("decode", "heads", "matcher"), 1.0 / tfs)
+        print(f"[bench] mfu: {json.dumps(mfu)}", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] mfu computation skipped: {e}", file=sys.stderr)
+
     if smoke:
         print("[bench] smoke OK (all legs ran; numbers suppressed)",
               file=sys.stderr)
@@ -398,6 +465,8 @@ def main() -> int:
         headline = ("tracking_fps_512x384_vitl_bf16_full_program", fps_full)
     else:
         headline = ("tracking_fps_512x384_vitl_bf16_device", fps_device)
+    orch_diag["pct_of_device"] = round(
+        100.0 * orchestrated / (fps_full or fps_device), 1)
     print(
         json.dumps(
             {
@@ -405,6 +474,11 @@ def main() -> int:
                 "value": round(headline[1], 3),
                 "unit": "frames/s",
                 "vs_baseline": round(headline[1] / BASELINE_FPS, 3),
+                "mfu": mfu,
+                "orchestrated": orch_diag,
+                "serving_tracked_fps": {
+                    str(B): round(v, 1) for B, v in serving_results.items()
+                },
             }
         )
     )

@@ -262,6 +262,13 @@ class RuntimeConfig:
     # matmuls measure 38-59% of their fc1 siblings' throughput on v5e
     # when it does). Exact semantics; default decided by on-chip A/B.
     gelu_barrier: bool = False
+    # Weight storage for inference programs: "none" = model dtype (bf16);
+    # "int8" = large kernels stored int8 + per-output-channel scales and
+    # dequantized inside each program (models/quant.py) — halves the
+    # weight bytes streamed from HBM per frame. Accuracy: ~1e-2-scale
+    # relative output deviation (per-channel symmetric); oracle e2e green
+    # (tests/test_quant.py). Default off: checkpoint-exact numerics first.
+    weight_quant: str = "none"
     # "erf" = exact gelu (upstream torch nn.GELU); "tanh" = the tanh
     # approximation — within ~1 bf16 ulp of erf everywhere, measurably
     # cheaper on the VPU (the erf costs ~2.1 ms/frame at ViT-L scale).

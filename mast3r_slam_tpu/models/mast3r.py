@@ -339,6 +339,31 @@ class MASt3RModel:
     def num_params(self) -> int:
         return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(self.params))
 
+    # -- weight quantization ----------------------------------------------
+
+    def quantize_weights(
+        self, mode: str = "int8", min_elems: int | None = None
+    ) -> "MASt3RModel":
+        """Switch inference to int8 weight streaming (models/quant.py):
+        large kernels are stored int8 + per-output-channel scales, and
+        every program (encode/decode/fused tracker/serving — they all
+        reach the network through `self.net.apply`) dequantizes inside its
+        own trace, so HBM streams half the weight bytes. Idempotent;
+        `mode="none"` is a no-op. Opt-in: numerics deviate at the ~1%
+        output level (tests/test_quant.py pins bands)."""
+        if mode == "none" or getattr(self, "_quant_mode", None) == mode:
+            return self
+        if mode != "int8":
+            raise ValueError(f"unknown weight_quant mode {mode!r}")
+        from mast3r_slam_tpu.models.quant import QuantApplyNet, quantize_params
+
+        kw = {} if min_elems is None else {"min_elems": min_elems}
+        self.params = jax.jit(partial(quantize_params, **kw))(self.params)
+        self.net = QuantApplyNet(self.net, dtype=self.cfg.dtype)
+        self._quant_mode = mode
+        self._build_programs()
+        return self
+
 
 def _canonical_hw(resolution: int, patch: int) -> tuple[int, int]:
     """Canonical (H, W) for a resolution class: 4:3 landscape, multiples of

@@ -67,6 +67,18 @@ class SLAM:
                 checkpoint=self.config.model.checkpoint,
                 head_type=self.config.model.head_type,
             )
+        # int8 weight streaming (runtime.weight_quant; models/quant.py) —
+        # idempotent, so a caller-supplied pre-quantized model is fine.
+        # Oracle/stub models (tests) have no quantize_weights: only a real
+        # MASt3RModel can honor the flag.
+        wq = self.config.runtime.weight_quant
+        if wq != "none":
+            if not hasattr(self.model, "quantize_weights"):
+                raise ValueError(
+                    f"runtime.weight_quant={wq!r} needs a MASt3RModel; "
+                    f"got {type(self.model).__name__}"
+                )
+            self.model.quantize_weights(wq)
         self.resolution = resolution
 
         self.keyframes: Optional[Keyframes] = None

@@ -108,6 +108,12 @@ def main() -> int:
         "the A/B",
     )
     ap.add_argument(
+        "--weight-quant", default=None, choices=["none", "int8"],
+        help="int8 = store large kernels int8 + per-channel scales and "
+        "dequantize inside each program (models/quant.py) — the weight-"
+        "streaming A/B of PLAN round-4 item 3 / VERDICT r4 item 1",
+    )
+    ap.add_argument(
         "--no-batched-encode", action="store_true",
         help="disable the hoisted B=K window encode (per-frame inline "
         "encodes inside the chain) for the A/B",
@@ -168,6 +174,8 @@ def main() -> int:
 
     t0 = time.time()
     model = MASt3RModel.create(resolution=512)
+    if args.weight_quant:
+        model.quantize_weights(args.weight_quant)
     h, w = model._out_hw
     print(f"model ready {h}x{w} ({time.time()-t0:.1f}s)", file=sys.stderr)
 

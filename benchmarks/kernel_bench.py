@@ -265,53 +265,6 @@ def bench_dense_match_c2f(rng, quick=False):
     }
 
 
-def bench_dense_match_pallas(rng, quick=False):
-    """VMEM-tiled Pallas matcher vs the XLA shifted-tap twin, both in the
-    tracking hot-path configuration (5-channel payload + hit mask).
-
-    The XLA twin re-streams the bf16 desc/ray images from HBM once per tap
-    (~1.6 GB/frame, docs/PLAN.md); the kernel DMAs each row band once and
-    runs all 169 taps from VMEM. Agreement = identical argmin picks on the
-    same inputs (near-ties may flip: f32 summation order differs)."""
-    import jax
-    import jax.numpy as jnp
-
-    from mast3r_slam_tpu.ops.dense_match import match_dense_window
-    from mast3r_slam_tpu.ops.dense_match_pallas import match_dense_window_pallas
-    from tests.fixtures import camera_K, world_surface
-
-    # Quick mode runs the kernel INTERPRETED on the 1-core CPU host: shrink
-    # the window too (radius 2 -> 25 taps) — it exercises the path, the
-    # perf number is TPU-only.
-    h, w, d, p = (48, 64, 8, 5) if quick else (384, 512, 24, 5)
-    radius = 2 if quick else 6
-    interpret = jax.default_backend() != "tpu"
-    K = camera_K(h, w)
-    X1 = jnp.asarray(np.asarray(world_surface(rng, h, w, K)).reshape(1, h, w, 3))
-    X2 = X1 + jnp.asarray(rng.normal(0, 0.002, X1.shape).astype(np.float32))
-    D1 = jnp.asarray(rng.normal(size=(1, h, w, d)).astype(np.float32))
-    D2 = jnp.asarray(rng.normal(size=(1, h, w, d)).astype(np.float32))
-    pay = jnp.asarray(rng.normal(size=(1, h, w, p)).astype(np.float32))
-
-    kw = dict(radius=radius, dilations=(1,), payload=pay, want_hit=True)
-    t_pal, out_pal = _time_device(
-        lambda *a: match_dense_window_pallas(*a, **kw), X1, X2, D1, D2
-    )
-    t_xla, out_xla = _time_device(
-        lambda *a: match_dense_window(*a, **kw), X1, X2, D1, D2
-    )
-    agree = float((np.asarray(out_pal[0]) == np.asarray(out_xla[0])).mean())
-    return {
-        "kernel": "dense_match_pallas",
-        "config": f"{h}x{w}, +-{radius} px window, payload+hit"
-        + (" [interpret]" if interpret else ""),
-        "device_ms": t_pal * 1e3,
-        "oracle_ms": t_xla * 1e3,
-        "oracle_config": "XLA shifted-tap twin (same chip)",
-        "oracle_agree": agree,
-    }
-
-
 def bench_gn(rng, mode, quick=False):
     """Reference size: 20 KF, 1000 pts, 30 edges (BASELINE.md rows 5-7).
 
@@ -499,7 +452,6 @@ def main(argv=None) -> int:
         bench_iter_proj(rng, args.quick),
         bench_dense_match(rng, args.quick),
         bench_dense_match_c2f(rng, args.quick),
-        bench_dense_match_pallas(rng, args.quick),
         bench_refine(rng, args.quick),
         bench_gn(rng, "rays", args.quick),
         bench_gn(rng, "points", args.quick),

@@ -60,10 +60,11 @@ class MatchingConfig:
     dense_radius: int = 6
     dense_dilations: tuple = (1,)
     dense_desc_weight: float = 1.0
-    # Dense-matcher backend: "xla" (shifted-tap passes, HBM-streaming),
-    # "pallas" (VMEM-tiled band kernel, ops/dense_match_pallas.py), or
-    # "auto" (pallas on TPU when the tap halo fits, else xla). Default xla
-    # until the kernel's on-chip numbers land (docs/kernel_benchmark.md).
+    # Dense-matcher backend. Only "xla" (shifted-tap fusion) remains: the
+    # VMEM-tiled Pallas band kernel was measured (6.5 vs 3.4 ms at the
+    # tracking config) and deleted in round 5 after its two blocking
+    # Mosaic constraints re-probed FAIL (scripts/probe_mosaic_rotate.py;
+    # docs/PLAN.md round-4 pruning plan). "auto" = "xla".
     dense_kernel: str = "xla"
     # `use_simple` selects warm-start + 3D-gate matching; False selects full
     # iterative projective matching (reference: matching.py:32-38).

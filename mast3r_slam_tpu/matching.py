@@ -60,44 +60,14 @@ def match(
     if method == "auto":
         method = "simple" if cfg.use_simple else "iterative"
     if method == "dense":
+        # The VMEM-tiled Pallas twin of this matcher was measured and
+        # retired (round 5): on this toolchain bf16 `dynamic_rotate` and
+        # tile-unaligned dynamic ref offsets do not lower (re-probed each
+        # round via scripts/probe_mosaic_rotate.py — still FAIL), forcing
+        # an f32 round-trip that made it 6.5 vs 3.4 ms against the XLA
+        # formulation. XLA's shifted-tap fusion is the shipped path.
         from mast3r_slam_tpu.ops.dense_match import match_dense_window
-        from mast3r_slam_tpu.ops.dense_match_pallas import (
-            MAX_HALO,
-            match_dense_window_pallas,
-            pallas_matcher_available,
-        )
 
-        halo = cfg.dense_radius * max(cfg.dense_dilations)
-        use_pallas = cfg.dense_kernel == "pallas" or (
-            cfg.dense_kernel == "auto"
-            and jax.default_backend() == "tpu"
-            and halo <= MAX_HALO
-            # Probe the REAL configuration (extras, width, desc depth) so
-            # "probe compiles but dispatch doesn't" can't happen.
-            and pallas_matcher_available(
-                radius=cfg.dense_radius,
-                dilations=tuple(cfg.dense_dilations),
-                payload_channels=0 if payload is None else payload.shape[-1],
-                want_hit=want_hit,
-                width=X11.shape[2],
-                desc_dim=D11.shape[-1],
-            )
-        )
-        if use_pallas:
-            return match_dense_window_pallas(
-                X11,
-                X21,
-                D11,
-                D21,
-                radius=cfg.dense_radius,
-                dilations=tuple(cfg.dense_dilations),
-                desc_weight=cfg.dense_desc_weight,
-                dist_thresh=cfg.dist_thresh,
-                payload=payload,
-                want_hit=want_hit,
-                # interpret resolves automatically: interpreter mode off-TPU
-                # (tests force dense_kernel="pallas" on the CPU mesh).
-            )
         return match_dense_window(
             X11,
             X21,

@@ -84,10 +84,6 @@ def main() -> int:
         "window decode) for the A/B",
     )
     ap.add_argument(
-        "--dense-kernel", default=None, choices=["xla", "pallas", "auto"],
-        help="override matching.dense_kernel (pallas = VMEM-tiled matcher)",
-    )
-    ap.add_argument(
         "--attention", default=None, choices=["auto", "xla", "flash"],
         help="override runtime.attention_impl for the A/B",
     )
@@ -155,8 +151,6 @@ def main() -> int:
     live_cfg = get_config()
     if args.spec_decode:
         live_cfg.runtime.window_spec_decode = True
-    if args.dense_kernel:
-        live_cfg.matching.dense_kernel = args.dense_kernel
     if args.dense_lattice:
         r_s, dil_s = args.dense_lattice.split(":")
         live_cfg.matching.dense_radius = int(r_s)

@@ -37,6 +37,47 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+# -- two-tier suite (pyproject [tool.pytest.ini_options] markers) -----------
+# The compile-heaviest tests (measured with pytest --durations: each >~25 s
+# on the 1-core host, dominated by XLA compiles) are auto-marked `slow` from
+# this one list so the fast lane (`pytest -m "not slow"`, target <15 min)
+# stays maintainable. CI/driver runs the WHOLE suite — the fast lane is the
+# edit loop, not the gate. Prefixes match test node ids.
+SLOW_NODE_PREFIXES = (
+    "test_train_loop.py::test_resume_matches_straight_run",
+    "test_dense_match.py::TestWindowExtras",
+    "test_model.py::TestConfigs::test_dpt_head_tiny",
+    "test_model.py::TestConfigs::test_patch14_dune_structure",
+    "test_model.py::TestConfigs::test_remat_preserves_params_and_outputs",
+    "test_eviction.py::TestSLAMEviction::test_long_run_past_capacity",
+    "test_torch_twin.py::TestFullScaleReadiness",
+    "test_torch_twin.py::TestNumericParity::test_two_view_outputs_match",
+    "test_torch_twin.py::TestKeyParity",
+    "test_system_oracle.py::TestCalibFreeOracle",
+    "test_parallel.py::TestTrainStep::test_sharded_train_step_runs",
+    "test_pipeline.py::TestPipelineEquivalence::"
+    "test_windowed_sync_matches_per_frame_sync",
+    "test_slam_e2e.py::TestE2E::test_patch14_family_through_loader",
+    "test_window_scan.py::test_scan_matches_sequential_chain",
+    "test_fault_injection.py::TestWindowFaults",
+    "test_fault_injection.py::TestInputFaults::test_black_frames_mid_stream",
+    "test_fault_injection.py::TestInputFaults::test_nan_frame_mid_stream",
+    "test_aspect_ratio.py::TestEuRoCAspectE2E",
+    "test_metrics.py::test_metrics_file_emitted",
+    "test_serving.py::TestBatchTracker::test_image_input_matches_feature_input",
+    "test_gauss_newton.py::TestSolveVariants::"
+    "test_bf16_transients_converge_close",
+    "test_quant.py::test_quantized_model_through_fused_tracking",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nodeid = item.nodeid.removeprefix("tests/")
+        if nodeid.startswith(SLOW_NODE_PREFIXES):
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)

@@ -32,13 +32,12 @@ import pytest
         # inline per-frame encodes inside the chain (the A/B twin of the
         # hoisted B=K window encode; numerically identical by construction)
         (False, False, {}),
-        # the full deployment composition when both round-3 perf flags
-        # flip: speculative batched decode + the Pallas dense matcher
-        # (interpreter mode on CPU) inside the unrolled window chain
+        # speculative batched decode + the dense matcher inside the
+        # unrolled window chain (the full deployment composition)
         (True, True, {"method": "dense", "dense_radius": 2,
-                      "dense_kernel": "pallas", "dist_thresh": 1e6}),
+                      "dist_thresh": 1e6}),
     ],
-    ids=["base", "spec", "inline-encode", "spec+pallas-dense"],
+    ids=["base", "spec", "inline-encode", "spec+dense"],
 )
 def test_scan_matches_sequential_chain(
     tiny_model, rng, spec_decode, batched_encode, matching

@@ -297,6 +297,19 @@ def main() -> int:
     sync_every = slam.config.runtime.sync_every
     n_run = 6 * sync_every
     rtt_before = _measure_rtt_ms()
+    # Host->device upload bandwidth at the window payload size: through
+    # the relay this is the orchestrated leg's usual bound (measured
+    # ~10 MB/s on a degraded tunnel = ~0.5 s per 4.7 MB ViT-L window vs
+    # a 141 ms device window; on a real TPU host DMA makes it vanish).
+    up_probe = np.stack(frames_u8).copy()
+    up_bw = []
+    for i in range(3):
+        up_probe[0, 0, 0, 0] = np.uint8(200 + i)
+        t0 = time.perf_counter()
+        xp = jnp.asarray(up_probe)
+        float(jnp.sum(xp[0, 0, 0].astype(jnp.float32)))
+        up_bw.append(up_probe.nbytes / (time.perf_counter() - t0) / 1e6)
+    upload_mbps = sorted(up_bw)[1]
     quiet = io.StringIO()
     t_orch0 = time.perf_counter()
     with contextlib.redirect_stdout(quiet):
@@ -312,11 +325,19 @@ def main() -> int:
     wfinal = [stamps[k * sync_every - 1] - t_orch0
               for k in range(1, len(stamps) // sync_every + 1)]
     window_ms = [round((b - a) * 1e3, 1) for a, b in zip(wfinal, wfinal[1:])]
+    window_bytes = up_probe.nbytes
+    upload_bound_fps = sync_every / (window_bytes / (upload_mbps * 1e6))
     orch_diag = {
         "fps": round(orchestrated, 2),
         "sync_every": sync_every,
         "rtt_ms_before": rtt_before,
         "rtt_ms_after": rtt_after,
+        "upload_mbps": round(upload_mbps, 1),
+        "window_upload_mb": round(window_bytes / 1e6, 2),
+        # FPS ceiling set by pushing each window's uint8 frames through
+        # the link alone (upload-ahead overlaps it with compute, so
+        # orchestrated ~ min(device_fps, this)).
+        "upload_bound_fps": round(upload_bound_fps, 1),
         "window_final_ms": window_ms,
         "steady_windows_used": 3,
     }
@@ -325,7 +346,9 @@ def main() -> int:
         f"1 relay round trip per {sync_every} frames): "
         f"{orchestrated:.2f} FPS  rtt(before/after)="
         f"{min(rtt_before):.0f}-{max(rtt_before):.0f}/"
-        f"{min(rtt_after):.0f}-{max(rtt_after):.0f} ms  windows_ms={window_ms}",
+        f"{min(rtt_after):.0f}-{max(rtt_after):.0f} ms  "
+        f"upload={upload_mbps:.1f} MB/s (bound {upload_bound_fps:.1f} FPS)  "
+        f"windows_ms={window_ms}",
         file=sys.stderr,
     )
 

@@ -68,6 +68,26 @@ SLOW_NODE_PREFIXES = (
     "test_gauss_newton.py::TestSolveVariants::"
     "test_bf16_transients_converge_close",
     "test_quant.py::test_quantized_model_through_fused_tracking",
+    # second tier (each >=17 s measured in the fast lane; every subsystem
+    # keeps at least one sub-17 s representative in the fast lane)
+    "test_system_oracle.py::TestOracleSLAM::"
+    "test_recovers_ground_truth_trajectory[simple-erf]",
+    "test_dense_match.py::TestDenseMatch::test_config_dispatch",
+    "test_dense_match.py::TestDenseMatch::test_recovers_integer_shift",
+    "test_dense_match.py::TestDenseMatch::test_identity_scene",
+    "test_offline.py::test_offline_recovers_trajectory",
+    "test_pipeline.py::TestPipelineEquivalence::"
+    "test_same_trajectory_and_keyframes",
+    "test_pipeline.py::TestPipelineEquivalence::test_pipeline_used",
+    "test_serving.py::TestShardedServing",
+    "test_serving.py::TestMicrobatchScan",
+    "test_serving.py::TestAsyncServing",
+    "test_parallel.py::TestTrainStep::test_loss_finite_and_grads_flow",
+    "test_aspect_ratio.py::TestSetOutHw::test_decode_follows_out_hw",
+    "test_snapshot.py::TestSnapshotV2::test_whitening_params_roundtrip",
+    "test_snapshot.py::TestSnapshot::test_asmk_state_roundtrip",
+    # only the asmk param: [signature] stays as reloc's fast representative
+    "test_reloc_oracle.py::TestRelocOracle::test_teleport_and_revisit[asmk",
 )
 
 

@@ -24,6 +24,22 @@ def _spec_for(path: tuple[str, ...], shape) -> P:
         return P()
     leaf = names[-1]
     module = names[-2] if len(names) >= 2 else ""
+    # int8 weight streaming (models/quant.py) wraps a kernel leaf as
+    # {"__w8__": int8 [in,out], "scale": f32 [1,out]} — one path level
+    # deeper. Shard the int8 payload exactly as the kernel it replaced;
+    # the per-OUTPUT-channel scale follows the output axis (split for
+    # column-parallel, replicated for row-parallel where the output dim
+    # is intact).
+    if module == "kernel" and len(names) >= 3:
+        owner = names[-3]
+        if leaf == "__w8__" and len(shape) == 2:
+            if owner in _COL_PARALLEL:
+                return P(None, "tp")
+            if owner in _ROW_PARALLEL:
+                return P("tp", None)
+        if leaf == "scale" and owner in _COL_PARALLEL and len(shape) == 2:
+            return P(None, "tp")
+        return P()
     if leaf == "kernel" and len(shape) == 2:
         if module in _COL_PARALLEL:
             return P(None, "tp")

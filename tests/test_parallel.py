@@ -79,6 +79,45 @@ class TestShardings:
             np.asarray(out1["pts3d"]), np.asarray(ref1["pts3d"]), atol=2e-4
         )
 
+    def test_tp_rules_see_through_int8_quant(self, rng):
+        """int8 weight streaming wraps kernels one path level deeper
+        ({kernel: {__w8__, scale}}); the TP rules must shard the int8
+        payload like the kernel it replaced (and the per-output-channel
+        scale along the output axis for column-parallel), and the sharded
+        quantized forward must match the single-device quantized one."""
+        quant = MASt3RModel.create(
+            resolution=64, _test_cfg=MASt3RConfig.tiny()
+        )
+        quant.quantize_weights("int8", min_elems=1024)
+        mesh = make_mesh(8)
+        sh = infer_param_shardings(quant.params, mesh)
+        flat = jax.tree_util.tree_flatten_with_path(sh)[0]
+        by_name = {
+            ".".join(p.key if hasattr(p, "key") else str(p) for p in path): s
+            for path, s in flat
+        }
+        qkv_q = [v for k, v in by_name.items()
+                 if "attn.qkv.kernel.__w8__" in k][0]
+        assert qkv_q.spec == P(None, "tp")
+        qkv_s = [v for k, v in by_name.items()
+                 if "attn.qkv.kernel.scale" in k][0]
+        assert qkv_s.spec == P(None, "tp")
+        fc2_q = [v for k, v in by_name.items()
+                 if "mlp.fc2.kernel.__w8__" in k][0]
+        assert fc2_q.spec == P("tp", None)
+        fc2_s = [v for k, v in by_name.items()
+                 if "mlp.fc2.kernel.scale" in k][0]
+        assert fc2_s.spec == P()
+
+        h, w = quant._out_hw
+        img = jnp.asarray(rng.uniform(-1, 1, (2, h, w, 3)).astype(np.float32))
+        ref1, _ = quant.reconstruct(img, img)
+        params_sh = shard_params(quant.params, mesh)
+        out1, _ = jax.jit(quant.net.apply)(params_sh, img, img)
+        np.testing.assert_allclose(
+            np.asarray(out1["pts3d"]), np.asarray(ref1["pts3d"]), atol=2e-4
+        )
+
 
 class TestTrainStep:
     def test_loss_finite_and_grads_flow(self, tiny, rng):

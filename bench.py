@@ -301,7 +301,11 @@ def main() -> int:
     # the relay this is the orchestrated leg's usual bound (measured
     # ~10 MB/s on a degraded tunnel = ~0.5 s per 4.7 MB ViT-L window vs
     # a 141 ms device window; on a real TPU host DMA makes it vanish).
-    up_probe = np.stack(frames_u8).copy()
+    # probe payload = one WINDOW's frames (sync_every, not the fixed 8 of
+    # frames_u8) so the implied ceiling scales with the configured window
+    up_probe = np.stack(
+        [frames_u8[i % len(frames_u8)] for i in range(sync_every)]
+    ).copy()
     up_bw = []
     for i in range(3):
         up_probe[0, 0, 0, 0] = np.uint8(200 + i)

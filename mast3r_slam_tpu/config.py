@@ -78,6 +78,14 @@ class MatchingConfig:
     refine_radius: int = 3
     refine_dilation: int = 2
 
+    def __post_init__(self):
+        if self.dense_kernel not in ("xla", "auto"):
+            raise ValueError(
+                f"matching.dense_kernel={self.dense_kernel!r}: the Pallas "
+                "dense matcher was deleted (round 5, failed Mosaic "
+                "re-probe); only 'xla' (and 'auto' == 'xla') remain"
+            )
+
 
 @dataclass
 class TrackingConfig:

@@ -247,15 +247,23 @@ def load_checkpoint_into(params, path: str, strict: bool = True):
 # -- naver retrieval head ----------------------------------------------------
 
 def is_retrieval_state_dict(state: dict[str, np.ndarray]) -> bool:
-    """Heuristic: a naver retrieval checkpoint carries attention + one of
-    prewhiten/projector/postwhiten, and no decoder/head keys."""
+    """Heuristic: a naver retrieval checkpoint carries attention + at least
+    one naver-specific whitener/projector tensor, and no decoder/head keys.
+
+    The whitener markers are the ``.m``/``.p`` parameter names (and the
+    ``projector.N.weight`` Linear stack) — NOT bare ``postwhiten.`` /
+    ``prewhiten.`` prefixes: this repo's own exported RetrievalNet state
+    dicts carry ``postwhiten.weight/bias`` (Dense) and must fall through
+    to the generic name-mapped loader in RetrievalModel.from_pretrained.
+    """
     keys = set(state)
     has_att = "attention.weight" in keys
-    has_head = any(
-        k.startswith(("prewhiten.", "projector.", "postwhiten.")) for k in keys
-    )
+    has_naver_whitener = any(
+        k in keys
+        for k in ("prewhiten.m", "prewhiten.p", "postwhiten.m", "postwhiten.p")
+    ) or any(re.match(r"^projector\.\d+\.weight$", k) for k in keys)
     has_backbone_heads = any(k.startswith("downstream_head") for k in keys)
-    return has_att and has_head and not has_backbone_heads
+    return has_att and has_naver_whitener and not has_backbone_heads
 
 
 def import_retrieval_state_dict(params, state: dict[str, np.ndarray]):
@@ -318,6 +326,20 @@ def import_retrieval_state_dict(params, state: dict[str, np.ndarray]):
     W_proj, b_proj = take("projector.0.weight"), take("projector.0.bias")
     att_w, att_b = take("attention.weight"), take("attention.bias")
     m_post, P_post = take("postwhiten.m"), take("postwhiten.p")
+
+    # take() marks keys consumed, so a half-present pair would otherwise
+    # be silently dropped (the fold only applies m under `if P is not
+    # None`) and still pass the strict unexpected-key check below.
+    for pair, a, b in (
+        (("prewhiten.m", "prewhiten.p"), m_pre, P_pre),
+        (("postwhiten.m", "postwhiten.p"), m_post, P_post),
+        (("projector.0.bias", "projector.0.weight"), b_proj, W_proj),
+    ):
+        if a is not None and b is None:
+            raise KeyError(
+                f"retrieval checkpoint has {pair[0]} without {pair[1]} — "
+                "refusing to silently drop it"
+            )
 
     kernel = np.eye(d_in, dtype=np.float32)
     bias = np.zeros(d_in, dtype=np.float32)

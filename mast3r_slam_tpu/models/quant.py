@@ -70,7 +70,13 @@ def dequantize_params(qparams, dtype=jnp.bfloat16):
 
     def dq(x):
         if is_quantized_leaf(x):
-            return x[QKEY].astype(dtype) * x["scale"].astype(dtype)
+            # multiply in f32 and round the PRODUCT once: casting the
+            # scale to bf16 first would stack a second rounding on top of
+            # the int8 step (~2x worst-case weight error); the f32
+            # broadcast multiply fuses into the consumer identically.
+            return (
+                x[QKEY].astype(jnp.float32) * x["scale"]
+            ).astype(dtype)
         return x
 
     return jax.tree.map(dq, qparams, is_leaf=is_quantized_leaf)

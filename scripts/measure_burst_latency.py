@@ -148,14 +148,22 @@ def main() -> int:
         solve_fns[stride] = fn
     print("solves warm", flush=True)
 
+    solve_rep = [0]
+
     def run_burst(stride, widx):
         """windows widx, widx+1 with a solve dispatched between; one
-        dependent drain at the end. Returns wall seconds."""
+        dependent drain at the end. Returns wall seconds. The solve's
+        initial poses are perturbed per call — the relay serves repeated
+        IDENTICAL executions from a result cache (docs/PLAN.md round-2),
+        which would fake a zero-stall burst."""
         nonlocal st
+        solve_rep[0] += 1
+        Twc0 = jnp.asarray(gn_args[0]).at[0, 0].add(1e-6 * solve_rep[0])
+        jax.block_until_ready(Twc0)  # perturbation outside the timed span
         t0 = time.perf_counter()
         st, stats1 = win(wins[widx], st)
         if stride:
-            Twc = solve_fns[stride](*gn_args)
+            Twc = solve_fns[stride](Twc0, *gn_args[1:])
         st, stats2 = win(wins[widx + 1], st)
         float(stats2[-1, 0])
         if stride:

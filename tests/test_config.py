@@ -58,3 +58,17 @@ def test_global_accessor():
     assert get_config().tracking.Q_conf == 1.5
     set_config(Config.from_dict({"tracking": {"Q_conf": 2.0}}))
     assert get_config().tracking.Q_conf == 2.0
+
+
+def test_dense_kernel_validated():
+    """'pallas' was deleted in round 5; the knob survives for config
+    compatibility but only 'xla'/'auto' pass validation."""
+    import pytest
+
+    with pytest.raises(ValueError, match="dense matcher was deleted"):
+        Config.from_dict({"matching": {"dense_kernel": "pallas"}})
+    assert (
+        Config.from_dict({"matching": {"dense_kernel": "auto"}})
+        .matching.dense_kernel
+        == "auto"
+    )

@@ -161,3 +161,34 @@ def test_loaded_head_drives_retrieval_db(tmp_path):
         min_thresh=0.005,
     )
     assert topk and topk[0] == 1
+
+
+def test_own_export_takes_generic_path_not_naver_mapper(tmp_path):
+    """This repo's own exported RetrievalNet state dict carries
+    postwhiten.weight/bias (Dense names) — the naver heuristic must NOT
+    claim it (its markers are the .m/.p whitener tensors), so
+    from_pretrained round-trips through the generic name-mapped loader."""
+    import jax
+
+    from mast3r_slam_tpu.models import io
+
+    m = RetrievalModel.from_pretrained(backbone_dim=D)
+    path = tmp_path / "head.npz"
+    io.save_checkpoint(m.params, str(path))
+    state = io.load_state_dict_file(str(path))
+    assert not io.is_retrieval_state_dict(state)
+    m2 = RetrievalModel.from_pretrained(backbone_dim=D, checkpoint=str(path))
+    for a, b in zip(jax.tree.leaves(m.params), jax.tree.leaves(m2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_half_present_whitener_pair_rejected(tmp_path):
+    """prewhiten.m without prewhiten.p must raise, not silently drop the
+    mean subtraction (take() would otherwise mark it consumed)."""
+    rng = np.random.default_rng(13)
+    state = _make_naver_state(rng)
+    del state["prewhiten.p"]
+    path = tmp_path / "half.pth"
+    torch.save(state, path)
+    with pytest.raises(KeyError, match="prewhiten.m without prewhiten.p"):
+        RetrievalModel.from_pretrained(backbone_dim=D, checkpoint=str(path))

@@ -82,7 +82,61 @@ def main() -> int:
         except Exception as e:
             print(f"{name}: int8 FAIL {type(e).__name__}: "
                   f"{str(e)[:160]}", flush=True)
+    probe_dots()
     return 0
+
+
+
+
+
+def probe_dots() -> None:
+    """Same question for dot_general at the ViT matmul shapes (encoder
+    fc1/qkv run at up to 178 TF/s bf16 — does s8 dot reach the 394-TOPS
+    path, net of dynamic activation-quant cost?)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from benchmarks.timing import time_device_chained
+
+    rng = np.random.default_rng(1)
+    cases = [
+        ("enc fc1 [768,1024]x[1024,4096]", (768, 1024), (1024, 4096)),
+        ("enc qkv [768,1024]x[1024,3072]", (768, 1024), (1024, 3072)),
+        ("dec fc1 [768,768]x[768,3072]", (768, 768), (768, 3072)),
+    ]
+    for name, xs, ws in cases:
+        xf = jnp.asarray(rng.normal(size=xs).astype(np.float32))
+        wf = jnp.asarray(rng.normal(size=ws).astype(np.float32))
+
+        @jax.jit
+        def dot_bf16(x, w):
+            return jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16))
+
+        @jax.jit
+        def dot_int8(x, w):
+            # dynamic per-tensor activation quant (the real deployment
+            # cost) + static weight quant
+            sx = jnp.max(jnp.abs(x)) / 127.0 + 1e-12
+            xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+            wq = jnp.clip(jnp.round(w * 8), -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                xq, wq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return acc.astype(jnp.float32) * sx
+
+        flops = 2 * xs[0] * xs[1] * ws[1]
+        t_b, _ = time_device_chained(dot_bf16, xf, wf, iters=40)
+        print(f"{name}: bf16 {t_b*1e3:.3f} ms ({flops/t_b/1e12:.1f} TF/s)",
+              flush=True)
+        try:
+            t_q, _ = time_device_chained(dot_int8, xf, wf, iters=40)
+            print(f"{name}: int8 {t_q*1e3:.3f} ms ({flops/t_q/1e12:.1f} "
+                  f"TOP/s)  speedup {t_b/t_q:.2f}x", flush=True)
+        except Exception as e:
+            print(f"{name}: int8 FAIL {type(e).__name__}: {str(e)[:160]}",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -55,7 +55,7 @@ MATCHERS = {
 
 
 def run_case(h: int, w: int, n: int, step: float, noise: float,
-             matcher: str, seed: int) -> dict:
+             matcher: str, seed: int, point_stride: int = 1) -> dict:
     import numpy as np
 
     from mast3r_slam_tpu.config import Config, set_config
@@ -72,7 +72,8 @@ def run_case(h: int, w: int, n: int, step: float, noise: float,
         Config.from_dict(
             {
                 "runtime": {"keyframe_capacity": 32, "gelu_impl": "tanh"},
-                "local_opt": {"max_edges": 64},
+                "local_opt": {"max_edges": 64,
+                              "point_stride": point_stride},
                 "matching": dict(MATCHERS[matcher]),
                 "tracking": {"match_frac_thresh": 0.95},
             }
@@ -117,6 +118,10 @@ def main() -> int:
                     default=[0.0, 0.002, 0.005, 0.01, 0.02])
     ap.add_argument("--matchers", nargs="*", default=list(MATCHERS))
     ap.add_argument("--out", default=str(REPO / "docs" / "oracle_noise_bands.json"))
+    ap.add_argument("--point-stride", type=int, default=1,
+                    help="local_opt.point_stride for the backend solves "
+                    "(full-scale ATE evidence for the fast.yaml stride-2 "
+                    "latency profile)")
     args = ap.parse_args()
 
     sizes = args.sizes or ([32] if args.quick else [64, 128])
@@ -133,7 +138,7 @@ def main() -> int:
                 tag = f"{size}px step={step} {matcher} noise={noise}"
                 try:
                     r = run_case(size, size, n_frames, step, noise, matcher,
-                                 seed=11)
+                                 seed=11, point_stride=args.point_stride)
                 except Exception as e:  # noqa: BLE001 — record, keep sweeping
                     r = {"error": f"{type(e).__name__}: {e}"}
                 r.update(size=size, step=step, matcher=matcher, noise=noise)

@@ -46,10 +46,11 @@ def main() -> int:
         xf = jnp.asarray(rng.normal(size=xs).astype(np.float32))
         kf = jnp.asarray(rng.normal(size=ks).astype(np.float32))
 
-        conv = lambda x, k: jax.lax.conv_general_dilated(
-            x, k, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        def conv(x, k, **kw):
+            return jax.lax.conv_general_dilated(
+                x, k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"), **kw,
+            )
 
         @jax.jit
         def conv_bf16(x, k):
@@ -59,11 +60,7 @@ def main() -> int:
         def conv_int8(x, k):
             xq = jnp.clip(jnp.round(x * 8), -127, 127).astype(jnp.int8)
             kq = jnp.clip(jnp.round(k * 8), -127, 127).astype(jnp.int8)
-            return jax.lax.conv_general_dilated(
-                xq, kq, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.int32,
-            )
+            return conv(xq, kq, preferred_element_type=jnp.int32)
 
         flops = 2 * np.prod(xs[:3]) * ks[0] * ks[1] * ks[2] * ks[3]
         try:
@@ -124,12 +121,17 @@ def probe_dots() -> None:
                 xq, wq, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            return acc.astype(jnp.float32) * sx
+            return acc.astype(jnp.float32) * (sx / 8.0)  # /8 = weight scale
 
         flops = 2 * xs[0] * xs[1] * ws[1]
-        t_b, _ = time_device_chained(dot_bf16, xf, wf, iters=40)
-        print(f"{name}: bf16 {t_b*1e3:.3f} ms ({flops/t_b/1e12:.1f} TF/s)",
-              flush=True)
+        try:
+            t_b, _ = time_device_chained(dot_bf16, xf, wf, iters=40)
+            print(f"{name}: bf16 {t_b*1e3:.3f} ms ({flops/t_b/1e12:.1f} TF/s)",
+                  flush=True)
+        except Exception as e:
+            print(f"{name}: bf16 FAIL {type(e).__name__}: {str(e)[:120]}",
+                  flush=True)
+            continue
         try:
             t_q, _ = time_device_chained(dot_int8, xf, wf, iters=40)
             print(f"{name}: int8 {t_q*1e3:.3f} ms ({flops/t_q/1e12:.1f} "

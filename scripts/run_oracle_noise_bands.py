@@ -124,6 +124,11 @@ def main() -> int:
                     "latency profile)")
     args = ap.parse_args()
 
+    if args.point_stride != 1 and args.out == ap.get_default("out"):
+        # never clobber the canonical stride-1 baseline evidence
+        args.out = str(
+            REPO / "docs" / f"oracle_noise_bands_stride{args.point_stride}.json"
+        )
     sizes = args.sizes or ([32] if args.quick else [64, 128])
     noises = [0.0, 0.01] if args.quick else args.noises
     n_frames = 14
@@ -131,7 +136,14 @@ def main() -> int:
     # question is lattice-relative, not resolution-relative)
     regimes = [(s, 0.03) for s in sizes] + [(sizes[0], 0.10)]
 
-    results: dict = {"n_frames": n_frames, "cases": []}
+    results: dict = {
+        "n_frames": n_frames,
+        "point_stride": args.point_stride,
+        "sizes": sizes,
+        "noises": noises,
+        "matchers": args.matchers,
+        "cases": [],
+    }
     for (size, step) in regimes:
         for matcher in args.matchers:
             for noise in noises:
